@@ -1,0 +1,34 @@
+"""baryonforge_tpu — a TPU-native baryonification framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of BaryonForge
+(github.com/DhayaaAnbajagane/BaryonForge): baryonify N-body products (HEALPix
+lightcone shells, 2D/3D grids, particle snapshots) against halo catalogs, and
+paint thermodynamic fields from halo profiles — with the physics evaluated as
+batched, jit-compiled array programs and the per-halo scatter loops replaced
+by fixed-shape gather/scatter kernels sharded over a TPU device mesh.
+
+Layer map (mirrors SURVEY.md):
+  cosmo/        L0  in-repo cosmology core (replaces pyccl)
+  ops/          numerics + HEALPix geometry + scatter kernels
+  profiles/     L1  halo profile models (Schneider19/25, Arico20, Mead20, ...)
+  baryonification  L2  displacement model
+  utils/        L3  tables, pixel windows, caching, IO
+  runners/      L4  shell / grid / snapshot execution engines
+  parallel/     L5  device-mesh orchestration
+"""
+
+import os
+
+# The physics spans ~30 decades in density and the displacement function is a
+# difference of nearly-equal inverse masses; the reference runs float64
+# end-to-end. We enable x64 at import (opt out with BFG_TPU_NO_X64=1); hot
+# map-scatter paths downcast to float32 explicitly where it is safe.
+if not os.environ.get("BFG_TPU_NO_X64"):
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+from . import cosmo
+from . import ops
+from . import utils
+
+__version__ = "0.1.0"

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+XLA flags must be set before jax initializes; the axon TPU plugin (if
+present) force-sets jax_platforms at interpreter startup, so we override it
+again through jax.config after import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import baryonforge_tpu  # noqa: E402  (enables x64)
+
+assert jax.devices()[0].platform == "cpu"
