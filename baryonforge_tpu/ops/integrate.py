@@ -5,6 +5,7 @@ enclosed-mass curves (Schneider19.py:860-864, BaryonCorrection.py:564, 682)
 and inward pressure integrals (Thermodynamic.py:242-243).
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["cumulative_simpson_uniform", "cumulative_trapezoid", "trapz"]
@@ -19,23 +20,23 @@ def cumulative_simpson_uniform(y, dx=1.0, axis=-1):
     quadratics.
     """
     y = jnp.moveaxis(y, axis, -1)
+    n = y.shape[-1]
     h = dx
-    # Quadratic through (i-1, i, i+1) integrated over the LEFT half [i-1, i]:
-    #   h/12 * (5 f_{i-1} + 8 f_i - f_{i+1})
-    # and over the RIGHT half [i, i+1]:
-    #   h/12 * (-f_{i-1} + 8 f_i + 5 f_{i+1})
+    # Quadratic through samples (j, j+1, j+2) integrated over its LEFT half
+    # [x_j, x_{j+1}]:  h/12 (5 f_j + 8 f_{j+1} - f_{j+2}); RIGHT half
+    # [x_{j+1}, x_{j+2}]: h/12 (-f_j + 8 f_{j+1} + 5 f_{j+2}).
     f0, f1, f2 = y[..., :-2], y[..., 1:-1], y[..., 2:]
-    left = h / 12.0 * (5.0 * f0 + 8.0 * f1 - f2)     # increment for [i-1, i]
-    right = h / 12.0 * (-f0 + 8.0 * f1 + 5.0 * f2)   # increment for [i, i+1]
+    left = h / 12.0 * (5.0 * f0 + 8.0 * f1 - f2)     # interval [j, j+1]
+    right = h / 12.0 * (-f0 + 8.0 * f1 + 5.0 * f2)   # interval [j+1, j+2]
 
-    # interval j (from x_j to x_{j+1}), j = 0..N-2:
-    #   j == 0      : left quadratic only (through 0,1,2)  -> left[0]
-    #   j == N-2    : right quadratic only (through N-3..) -> right[-1]
-    #   else        : average of right[j-1] (quad centered j) and
-    #                 left[j] (quad centered j+1)
-    interior = 0.5 * (right[..., :-1] + left[..., 1:])
-    inc = jnp.concatenate(
-        [left[..., :1], interior, right[..., -1:]], axis=-1)
+    # scipy processes non-overlapping triplets (0,1,2), (2,3,4), ...:
+    #   interval i even  -> left half of the quadratic starting at i
+    #   interval i odd   -> right half of the quadratic starting at i-1
+    #   last interval when the count is odd -> right half of the final triplet
+    i = np.arange(n - 1)
+    use_right = (i % 2 == 1) | (i == n - 2) & (i % 2 == 0) & (i > 0)
+    qidx = np.where(use_right, i - 1, np.minimum(i, n - 3))
+    inc = jnp.where(jnp.asarray(use_right), right[..., qidx], left[..., qidx])
     out = jnp.concatenate(
         [jnp.zeros_like(y[..., :1]), jnp.cumsum(inc, axis=-1)], axis=-1)
     return jnp.moveaxis(out, -1, axis)

@@ -73,8 +73,8 @@ def test_proj_fourier_gaussian_2d():
     k_out = jnp.geomspace(1e-2, 2.5, 32)
     F = np.asarray(fftlog.proj_fourier_2d(R, f, k_out, plaw=-2.0))
     expected = 2 * np.pi * np.exp(-np.asarray(k_out) ** 2 / 2)
-    # additive ringing floor is ~3e-4 of F(0); test above that level
-    np.testing.assert_allclose(F, expected, rtol=5e-3)
+    # additive ringing floor is ~3e-4 of F(0) = 2pi
+    np.testing.assert_allclose(F, expected, rtol=5e-3, atol=3e-3)
 
 
 # ---------------------------------------------------------------------------
