@@ -299,12 +299,16 @@ def disc_pad_sizes(nside, radius_max):
     dtheta_min = np.min(np.diff(theta))
     K_ring = int(np.ceil(2.0 * radius_max / dtheta_min)) + 3
 
-    # phi extent: dphi = 2 pi / nr;  half-width = radius / sin(theta).
-    # Worst case over rings, but never more pixels than the ring holds.
+    # phi extent: exact worst-case half-width of a disc/ring intersection
+    # over all disc centers is arcsin(sin a / sin theta_ring); if
+    # sin theta_ring <= sin a the whole ring can be inside.
     nr = np.where(i < N, 4 * i, np.where(i > 3 * N, 4 * (4 * N - i), 4 * N))
     dphi = 2.0 * np.pi / nr
     sin_t = np.maximum(np.sin(theta), 1e-12)
-    need = np.minimum(np.ceil(2.0 * radius_max / (dphi * sin_t)) + 3, nr)
+    sin_a = np.sin(min(radius_max, np.pi / 2))
+    whole = sin_t <= sin_a
+    half_w = np.where(whole, np.pi, np.arcsin(np.minimum(sin_a / sin_t, 1.0)))
+    need = np.minimum(np.ceil(2.0 * half_w / dphi) + 3, nr)
     K_phi = int(np.max(need))
     return K_ring, K_phi
 
@@ -327,7 +331,7 @@ def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi):
     sp, nr, zr, shifted = ring_info(N, rings_c)
     dphi = 2.0 * jnp.pi / nr
     jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int64)
-    dp = jnp.arange(K_phi) - K_phi // 2
+    dp = jnp.arange(K_phi) - (K_phi - 1) // 2   # [-(K-1)//2, K//2] inclusive
     jj = jc[:, None] + dp[None, :]                     # (K_ring, K_phi)
     # avoid duplicate pixels when the window wraps a small ring
     no_dup = (dp[None, :] >= -((nr[:, None] - 1) // 2)) \
