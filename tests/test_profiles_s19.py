@@ -1,0 +1,126 @@
+"""Schneider19 family: shape smoke tests + physics sanity + composition.
+
+Mirrors the reference test strategy (SURVEY.md §4): run real/projected/
+fourier on (M, r, k) grids, check scalar-rank mirroring, plus stronger
+numeric checks the reference lacks (NFW mass normalization, fraction sums).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from baryonforge_tpu import Profiles
+from defaults import COSMO, bpar_S19
+
+M = np.geomspace(1e11, 1e16, 5)
+R = np.geomspace(1e-3, 1e3, 10)
+K = np.geomspace(1e-3, 1e3, 10)
+
+
+@pytest.mark.parametrize("a", [0.25, 0.5, 1.0])
+def test_darkmatter_smoke(a):
+    dm = Profiles.DarkMatter(**bpar_S19)
+    out = np.asarray(dm.real(COSMO, R, M, a))
+    assert out.shape == (5, 10) and np.all(np.isfinite(out)) and np.all(out >= 0)
+    out = np.asarray(dm.projected(COSMO, R[:4], M, a))
+    assert out.shape == (5, 4) and np.all(np.isfinite(out))
+    out = np.asarray(dm.fourier(COSMO, K, M, a))
+    assert out.shape == (5, 10) and np.all(np.isfinite(out))
+
+
+def test_scalar_rank_mirroring():
+    dm = Profiles.DarkMatter(**bpar_S19)
+    assert np.asarray(dm.real(COSMO, R, M[0], 1.0)).ndim == 1
+    assert np.asarray(dm.real(COSMO, R[0], M[0], 1.0)).ndim == 0
+
+
+def test_nfw_mass_normalization():
+    # integrating the DM profile to R200c must recover ~M (truncation makes
+    # the numeric normalization exact by construction)
+    dm = Profiles.DarkMatter(**bpar_S19)
+    a = 0.8
+    for Mi in [1e13, 1e14, 1e15]:
+        Rh = float(Profiles.Base._massdef.MassDef200c.get_radius(
+            COSMO, Mi, a)) / a
+        r = np.geomspace(1e-6, Rh, 2000)
+        rho = np.asarray(dm.real(COSMO, r, Mi, a))
+        Menc = np.trapezoid(4 * np.pi * r ** 2 * rho, r)
+        np.testing.assert_allclose(Menc, Mi, rtol=1e-3)
+
+
+def test_star_gas_fractions():
+    p = Profiles.Gas(**bpar_S19)
+    f_star = np.asarray(p.get_f_star(jnp.array(M), 1.0, COSMO))
+    f_gas = np.asarray(p.get_f_gas(jnp.array(M), 1.0, COSMO))
+    fb = COSMO.Omega_b / COSMO.Omega_m
+    assert np.all(f_star >= 1e-10) and np.all(f_star <= fb + 1e-12)
+    np.testing.assert_allclose(f_star + f_gas, fb, rtol=1e-6)
+
+
+@pytest.mark.parametrize("cls", ["TwoHalo", "Stars", "Gas",
+                                 "CollisionlessMatter", "SatelliteStars",
+                                 "DarkMatterOnly", "DarkMatterBaryon"])
+def test_component_smoke(cls):
+    prof = getattr(Profiles, cls)(**bpar_S19)
+    out = np.asarray(prof.real(COSMO, R, M, 0.5))
+    assert out.shape == (5, 10)
+    assert np.all(np.isfinite(out)), f"{cls} produced non-finite values"
+
+
+def test_shocked_gas_suppression():
+    gas = Profiles.Gas(**bpar_S19)
+    sgas = Profiles.ShockedGas(epsilon_shock=1.0, width_shock=0.1,
+                               **bpar_S19)
+    r = np.geomspace(1e-2, 50, 32)
+    g = np.asarray(gas.real(COSMO, r, 1e14, 0.5))
+    s = np.asarray(sgas.real(COSMO, r, 1e14, 0.5))
+    ratio = s / g
+    assert np.all(ratio <= 1.0 + 1e-10) and np.all(ratio >= 0.25 - 1e-10)
+    assert ratio[-1] < 0.3      # far outside: full 4x suppression
+    assert ratio[0] > 0.95      # well inside the shock: unsuppressed
+
+
+def test_composition_identity():
+    # DMB - TwoHalo == DMB(twohalo=Zeros())  (reference
+    # test_profile_composition.py:13-29, rtol 1e-6)
+    DMB = Profiles.DarkMatterBaryon(**bpar_S19)
+    THL = Profiles.TwoHalo(**bpar_S19)
+    SUB = DMB - THL
+    MOD = Profiles.DarkMatterBaryon(**bpar_S19, twohalo=Profiles.Zeros())
+    for a in [0.5, 1.0]:
+        A = np.asarray(SUB.real(COSMO, R, M, a))
+        B = np.asarray(MOD.real(COSMO, R, M, a))
+        np.testing.assert_allclose(A, B, rtol=1e-6, atol=np.inf)
+        A = np.asarray(SUB.projected(COSMO, R[:5], M, a))
+        B = np.asarray(MOD.projected(COSMO, R[:5], M, a))
+        np.testing.assert_allclose(A, B, rtol=1e-6, atol=np.inf)
+
+
+def test_clm_mass_conservation():
+    # CLM should carry ~f_clm of the total mass within a large radius
+    clm = Profiles.CollisionlessMatter(**bpar_S19)
+    a = 1.0
+    Mi = 1e14
+    r = np.geomspace(1e-4, 500, 1500)
+    rho = np.asarray(clm.real(COSMO, r, Mi, a))
+    Menc = np.trapezoid(4 * np.pi * r ** 2 * rho, r)
+    fb = COSMO.Omega_b / COSMO.Omega_m
+    p = Profiles.CollisionlessMatter(**bpar_S19)
+    f_sga = float(p.get_f_star_sat(jnp.array([Mi]), a, COSMO)[0])
+    f_clm = 1 - fb + f_sga
+    # the DMO total inside 500 Mpc (cutoff 1 Gpc) exceeds M200c; compare
+    # against the DM total mass computed the same way
+    dm = Profiles.DarkMatter(**bpar_S19, cutoff=1000)
+    rho_dm = np.asarray(dm.real(COSMO, r, Mi, a))
+    M_dm = np.trapezoid(4 * np.pi * r ** 2 * rho_dm, r)
+    np.testing.assert_allclose(Menc, f_clm * M_dm, rtol=0.05)
+
+
+def test_identity_zeros():
+    I = Profiles.Identity()
+    Z = Profiles.Zeros()
+    assert np.all(np.asarray(I.real(COSMO, R, M, 1.0)) == 1.0)
+    assert np.all(np.asarray(Z.real(COSMO, R, M, 1.0)) == 0.0)
+    T = Profiles.Truncation(epsilon_trunc=1.0)
+    out = np.asarray(T.real(COSMO, R, 1e14, 1.0))
+    assert out[0] == 1.0 and out[-1] == 0.0
