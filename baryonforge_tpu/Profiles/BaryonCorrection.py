@@ -1,0 +1,277 @@
+"""Displacement model: Baryonification2D / Baryonification3D.
+
+Reference: Profiles/BaryonCorrection.py. The table build — the expensive
+"init" of the whole pipeline (SURVEY.md §3.2) — is re-designed for TPU:
+
+  * enclosed-mass curves for all (z, M) at once (batched cumulative Simpson)
+  * the reference's data-dependent monotonicity-masking while-loop
+    (BaryonCorrection.py:243-304) becomes a fixed-shape masked PCHIP: points
+    failing the monotonicity / finiteness / DMO!=DMB conditions are masked
+    and the inversion interpolates across them (compress-to-front gather,
+    ops/interp.masked_pchip_interp)
+  * displacement d(r) = M_DMB^{-1}(M_DMO(r)) - r via two masked PCHIPs
+  * broken rows (fewer than 5 usable points) default to d = 0, matching the
+    reference's graceful-degradation policy (BaryonCorrection.py:297-304)
+
+The readout is a pure jnp multilinear interpolation (vmap/jit/shard-safe) —
+this is what the per-halo hot loop touches.
+"""
+
+import warnings
+from itertools import product
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cosmo import massdef as _massdef
+from ..ops.integrate import cumulative_simpson_uniform
+from ..ops.interp import masked_pchip_interp, multilinear_interp
+from ..utils.Tabulate import _set_parameter
+
+__all__ = ["BaryonificationClass", "Baryonification3D", "Baryonification2D"]
+
+
+class BaryonificationClass:
+    """Base displacement-function model (reference BaryonCorrection.py:15).
+
+    Parameters mirror the reference: DMO/DMB profiles (cutoffs forced to
+    1 Gpc), cosmology, epsilon_max (displacement zeroed beyond
+    epsilon_max * R), mass definition, integration knobs.
+    """
+
+    def __init__(self, DMO, DMB, cosmo, epsilon_max=20,
+                 mass_def=_massdef.MassDef200c,
+                 r_min_int=1e-6, r_max_int=1000, N_int=500):
+        self.DMO = DMO
+        self.DMB = DMB
+        self.DMO.set_parameter('cutoff', 1000)
+        self.DMB.set_parameter('cutoff', 1000)
+
+        self.cosmo = cosmo
+        self.epsilon_max = epsilon_max
+        self.mass_def = mass_def
+        self.r_min_int = r_min_int
+        self.r_max_int = r_max_int
+        self.N_int = N_int
+
+    # ------------------------------------------------------------------
+    def get_masses(self, model, r, M, a):
+        raise NotImplementedError("Implement a get_masses() method first")
+
+    def _enclosed_mass_curve(self, model, r, M, a, projected):
+        """Enclosed mass via cumulative Simpson on a padded log grid, with
+        the reference's rho>0 masking + log-log PCHIP resampling
+        (BaryonCorrection.py:499-578 / 615-694), fully batched over M."""
+        r = np.asarray(r, dtype=float)
+        r_min = min(float(r.min()), self.r_min_int)
+        r_max = max(float(r.max()), self.r_max_int)
+        r_int = jnp.asarray(np.geomspace(r_min / 1.2, r_max * 1.2,
+                                         self.N_int))
+        dlnr = jnp.log(r_int[1] / r_int[0])
+
+        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=jnp.result_type(float)))
+        if projected:
+            dens = model.projected(self.cosmo, np.asarray(r_int), M_use, a) * a
+            dens = jnp.atleast_2d(dens)
+            intgd = 2 * jnp.pi * r_int ** 2 * dens * dlnr
+        else:
+            dens = model.real(self.cosmo, np.asarray(r_int), M_use, a)
+            dens = jnp.atleast_2d(dens)
+            intgd = 4 * jnp.pi * r_int ** 3 * dens * dlnr
+        dens = jnp.where(dens < 0, 0.0, dens)
+        intgd = jnp.where(intgd < 0, 0.0, intgd)
+
+        M_enc = cumulative_simpson_uniform(intgd, dx=1.0, axis=-1) \
+            + intgd[:, :1]
+        lnr_int = jnp.log(r_int)
+        lnr_out = jnp.log(jnp.asarray(r))
+
+        valid = (dens > 0) & jnp.isfinite(M_enc) & (M_enc > 0)
+
+        def row(mrow, vrow):
+            return jnp.exp(masked_pchip_interp(
+                lnr_int, jnp.log(jnp.where(vrow, mrow, 1.0)), vrow, lnr_out,
+                min_pts=2))
+
+        return jax.vmap(row)(M_enc, valid)            # (M, r); NaN outside
+
+    # ------------------------------------------------------------------
+    def setup_interpolator(self, z_min=1e-2, z_max=5, N_samples_z=30,
+                           z_linear_sampling=False,
+                           M_min=1e12, M_max=1e16, N_samples_Mass=30,
+                           R_min=1e-3, R_max=1e2, N_samples_R=100,
+                           Rdelta_min=1e-3, Rdelta_max=10,
+                           Rdelta_sampling=False,
+                           other_params=None, verbose=True):
+        other_params = other_params or {}
+        if z_min <= 0:
+            assert z_linear_sampling, "need z_linear_sampling for z_min <= 0"
+
+        M_range = np.geomspace(M_min, M_max, N_samples_Mass)
+        r = np.geomspace(R_min, R_max, N_samples_R)
+        z_range = (np.linspace(z_min, z_max, N_samples_z)
+                   if z_linear_sampling
+                   else np.geomspace(z_min, z_max, N_samples_z))
+        a_range = 1.0 / (1.0 + z_range)
+        self.p_keys = list(other_params.keys())
+        p_vals = [np.asarray(other_params[k]) for k in self.p_keys]
+
+        if Rdelta_sampling:
+            rdelta_range = np.geomspace(Rdelta_min, Rdelta_max, N_samples_R)
+
+        shape = [z_range.size, M_range.size, r.size] \
+            + [v.size for v in p_vals]
+        d_interp = np.zeros(shape)
+
+        lnr = jnp.log(jnp.asarray(r))
+
+        combos = list(product(*[range(v.size) for v in p_vals])) or [()]
+        for j in range(z_range.size):
+            for c in combos:
+                for ki, key in enumerate(self.p_keys):
+                    _set_parameter(self.DMO, key, p_vals[ki][c[ki]])
+                    _set_parameter(self.DMB, key, p_vals[ki][c[ki]])
+
+                M_DMO = self.get_masses(self.DMO, r, M_range, a_range[j])
+                M_DMB = self.get_masses(self.DMB, r, M_range, a_range[j])
+                offset = np.asarray(
+                    _displacement_rows(lnr, jnp.asarray(M_DMO),
+                                       jnp.asarray(M_DMB)))
+
+                bad = ~np.isfinite(offset).any(axis=-1)
+                offset = np.where(np.isfinite(offset), offset, 0.0)
+                if bad.any() and verbose:
+                    for i in np.where(bad)[0]:
+                        warnings.warn(
+                            f"Displacement for log10(M) = "
+                            f"{np.log10(M_range[i]):.2f} partially failed; "
+                            "affected radii default to d = 0.", UserWarning)
+
+                if Rdelta_sampling:
+                    for i in range(M_range.size):
+                        Rdelta = float(self.mass_def.get_radius(
+                            self.cosmo, M_range[i], a_range[j])) / a_range[j]
+                        offset[i] = np.interp(rdelta_range, r / Rdelta,
+                                              offset[i])
+
+                idx = tuple([j, slice(None), slice(None)] + list(c))
+                d_interp[idx] = offset
+
+        input_rad = np.log(r) if not Rdelta_sampling else np.log(rdelta_range)
+        self.raw_input_d = d_interp
+        self.raw_input_z_range = np.log(1 + z_range)
+        self.raw_input_M_range = np.log(M_range)
+        self.raw_input_r_range = input_rad
+        for k, v in zip(self.p_keys, p_vals):
+            setattr(self, f"raw_input_{k}_range", v)
+
+        axes = [jnp.asarray(self.raw_input_z_range),
+                jnp.asarray(self.raw_input_M_range),
+                jnp.asarray(input_rad)] + [jnp.asarray(v) for v in p_vals]
+        self._axes = tuple(axes)
+        self._table = jnp.asarray(d_interp)
+        self.Rdelta_sampling = Rdelta_sampling
+        return self
+
+    # ------------------------------------------------------------------
+    def _readout(self, r, M, a, **kwargs):
+        r_use = jnp.atleast_1d(jnp.asarray(r, dtype=jnp.result_type(float)))
+        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=jnp.result_type(float)))
+        nM, nr = M_use.size, r_use.size
+
+        R = self.mass_def.get_radius(self.cosmo, M_use, a) / a  # comoving
+        lnr_in = jnp.log(r_use)[None, :] - (
+            jnp.log(R)[:, None] if self.Rdelta_sampling else 0.0)
+
+        cols = [jnp.broadcast_to(jnp.log(1.0 / jnp.asarray(a)),
+                                 (nM, nr)).reshape(-1),
+                jnp.broadcast_to(jnp.log(M_use)[:, None],
+                                 (nM, nr)).reshape(-1),
+                jnp.broadcast_to(lnr_in, (nM, nr)).reshape(-1)]
+        for k in self.p_keys:
+            cols.append(jnp.broadcast_to(
+                jnp.asarray(kwargs[k], dtype=jnp.result_type(float)),
+                (nM, nr)).reshape(-1))
+        pts = jnp.stack(cols, axis=1)
+        displ = multilinear_interp(self._axes, self._table, pts,
+                                   fill_value=jnp.nan)
+        displ = displ.reshape(nM, nr)
+        displ = jnp.where(jnp.isfinite(displ), displ, 0.0)
+        inside = r_use[None, :] < self.epsilon_max * R[:, None]
+        displ = jnp.where(inside, displ, 0.0)
+
+        if jnp.ndim(r) == 0:
+            displ = jnp.squeeze(displ, axis=-1)
+        if jnp.ndim(M) == 0:
+            displ = jnp.squeeze(displ, axis=0)
+        return displ
+
+    def displacement(self, r, M, a, **kwargs):
+        """Displacement d(r, M, a) in comoving Mpc (table readout only)."""
+        if not hasattr(self, "_table"):
+            raise NameError("No table. Run setup_interpolator() first")
+        for k in self.p_keys:
+            assert k in kwargs, f"need {k} as input (table built with it)"
+        return self._readout(r, M, a, **kwargs)
+
+
+def _displacement_rows(lnr, M_DMO, M_DMB):
+    """d(r) = exp(pchipDMB^-1(pchipDMO(ln r))) - r per mass row, with the
+    reference's masking rules (BaryonCorrection.py:243-304) in static shape:
+
+      DMB rows keep points that are finite, strictly increasing (running-max
+      test with the 1e-5 threshold) and distinct from DMO (>1e-6 in ln M);
+      DMO rows analogous. Rows with <=5 usable points yield NaN (caller
+      zeroes them with a warning).
+    """
+    r = jnp.exp(lnr)
+
+    def row(ln_dmo, ln_dmb):
+        fin_b = jnp.isfinite(ln_dmb)
+        fin_o = jnp.isfinite(ln_dmo)
+        neq = (jnp.abs(ln_dmb - ln_dmo) > 1e-6)
+
+        # strictly-increasing selection via running max over selected pts:
+        # a point is kept if it exceeds the running max of kept values by
+        # >1e-5 (sequential definition -> associative scan on max)
+        def scan_keep(ln_m, base_ok):
+            safe = jnp.where(base_ok & jnp.isfinite(ln_m), ln_m, -jnp.inf)
+            def f(carry, x):
+                keep = x > carry + 1e-5
+                new = jnp.where(keep, x, carry)
+                return new, keep
+            _, keep = jax.lax.scan(f, -jnp.inf, safe)
+            return keep & base_ok
+
+        mask_b = scan_keep(ln_dmb, fin_b & (neq | ~fin_o))
+        mask_b = mask_b.at[0].set(True)
+        mask_o = scan_keep(ln_dmo, fin_o & (neq | ~fin_b))
+
+        # M_DMO(ln r) on the kept DMO points
+        ln_MDMO_r = masked_pchip_interp(lnr, jnp.where(fin_o, ln_dmo, 0.0),
+                                        mask_o, lnr, min_pts=5)
+        # invert DMB: ln r as function of ln M on kept DMB points
+        ln_rb = masked_pchip_interp(
+            jnp.where(fin_b, ln_dmb, 0.0), lnr, mask_b, ln_MDMO_r, min_pts=5)
+        d = jnp.exp(ln_rb) - r
+        return jnp.where(jnp.isfinite(d), d, jnp.nan)
+
+    return jax.vmap(row)(jnp.log(M_DMO), jnp.log(M_DMB))
+
+
+class Baryonification3D(BaryonificationClass):
+    """3D displacement: invert 3D enclosed-mass curves
+    (reference BaryonCorrection.py:464-578)."""
+
+    def get_masses(self, model, r, M, a):
+        out = self._enclosed_mass_curve(model, r, M, a, projected=False)
+        return np.asarray(out)
+
+
+class Baryonification2D(BaryonificationClass):
+    """2D displacement: invert projected enclosed-mass curves
+    M(<R) = ∫ 2 pi R Sigma(R) a dlnR (reference BaryonCorrection.py:581-694)."""
+
+    def get_masses(self, model, r, M, a):
+        out = self._enclosed_mass_curve(model, r, M, a, projected=True)
+        return np.asarray(out)
