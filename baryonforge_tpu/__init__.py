@@ -30,5 +30,9 @@ if not os.environ.get("BFG_TPU_NO_X64"):
 from . import cosmo
 from . import ops
 from . import utils
+from . import Profiles
+from . import Runners
+from .utils.io import (HaloLightConeCatalog, HaloNDCatalog, LightconeShell,
+                       GriddedMap, ParticleSnapshot)
 
 __version__ = "0.1.0"
