@@ -40,7 +40,8 @@ class DefaultRunner:
     def __init__(self, HaloLightConeCatalog, LightconeShell, epsilon_max,
                  model, use_ellipticity=False,
                  mass_def=_massdef.MassDef200c, include_pixel_size=False,
-                 verbose=True, halo_batch=4096, dtype=jnp.float32):
+                 verbose=True, halo_batch=4096, dtype=jnp.float32,
+                 mesh=None, n_size_buckets=4, pixel_budget=4_000_000):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -52,9 +53,42 @@ class DefaultRunner:
         self.use_ellipticity = use_ellipticity
         self.halo_batch = halo_batch
         self.dtype = dtype
+        # device mesh with a 'halos' axis: the halo-batch axis is sharded
+        # across devices and per-device partial maps are psum-reduced —
+        # the TPU-native analog of the reference's SplitJoinParallel
+        # (utils/Parallelize.py:218-320)
+        self.mesh = mesh
+        self.n_size_buckets = n_size_buckets
+        self.pixel_budget = pixel_budget
         if use_ellipticity:
             raise NotImplementedError(
                 "use_ellipticity is not implemented for curved-sky runners")
+
+    def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype):
+        """Scan ``scan_fn`` over the batch axis, optionally sharded over
+        the mesh's 'halos' axis with a psum reduction."""
+
+        def local(batches_local, varying=False):
+            acc = jnp.zeros(acc_shape, dtype=acc_dtype)
+            if varying:   # inside shard_map the carry must be axis-varying
+                acc = jax.lax.pvary(acc, ("halos",))
+            acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
+            return acc
+
+        if self.mesh is None:
+            return jax.jit(local)(batches)
+
+        from jax.sharding import PartitionSpec as P
+
+        def sharded(batches_local):
+            return jax.lax.psum(local(batches_local, varying=True), "halos")
+
+        fn = jax.jit(jax.shard_map(sharded, mesh=self.mesh,
+                                   in_specs=P("halos"), out_specs=P()))
+        return fn(batches)
+
+    def _n_batch_multiple(self):
+        return 1 if self.mesh is None else self.mesh.devices.size
 
     # ------------------------------------------------------------------
     def _host_halo_data(self, cosmo_jax):
@@ -76,10 +110,13 @@ class DefaultRunner:
         return list(vars(self.model).get("p_keys", []))
 
     def _padded_batches(self, arrays, batch):
-        """Stack per-halo arrays into (n_batches, batch) with zero padding;
+        """Stack per-halo arrays into (n_batches, batch) with zero padding
+        (n_batches padded to a multiple of the mesh size when sharded);
         returns also the validity mask."""
         n = arrays[0].shape[0]
         nb = -(-n // batch)
+        mult = self._n_batch_multiple()
+        nb = -(-nb // mult) * mult
         pad = nb * batch - n
         out = []
         for x in arrays:
@@ -88,6 +125,47 @@ class DefaultRunner:
             out.append(xp.reshape((nb, batch) + x.shape[1:]))
         valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
         return out, valid.reshape(nb, batch)
+
+    def _bucketed_accumulate(self, make_body, hd, extras, acc_shape,
+                             acc_dtype, NSIDE):
+        """Run the per-halo accumulation with halos bucketed by disc size.
+
+        Static shapes force every halo in a batch to pay the largest disc's
+        padding; bucketing by angular radius (quantiles) gives each bucket
+        its own (K_ring, K_phi), cutting wasted gather/compute by ~the
+        dynamic range of disc areas. Accumulators are summed across buckets
+        (scatter-adds are order-independent in exact math; f32 rounding
+        differences are negligible).
+
+        ``make_body(K_ring, K_phi)`` must return the scan body over one
+        padded halo batch.
+        """
+        radius = hd["radius"]
+        n = radius.shape[0]
+        nbuck = max(1, min(self.n_size_buckets, n))
+        order = np.argsort(radius)
+        splits = np.array_split(order, nbuck)
+
+        arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
+                  hd["D"]]
+        acc_total = None
+        for idx in splits:
+            if idx.size == 0:
+                continue
+            r_max = float(radius[idx].max())
+            K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, r_max)
+            K = K_ring * K_phi
+            batch = int(np.clip(self.pixel_budget // K, 8, self.halo_batch))
+            body = make_body(K_ring, K_phi)
+            sub = [a[idx].astype(np.float64) for a in arrays] \
+                + [e[idx] for e in extras]
+            batched, valid = self._padded_batches(sub, batch)
+            batches = tuple([jnp.asarray(b) for b in batched[:6]]
+                            + [jnp.asarray(valid)]
+                            + [jnp.asarray(b) for b in batched[6:]])
+            acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype)
+            acc_total = acc if acc_total is None else acc_total + acc
+        return acc_total
 
 
 class BaryonifyShell(DefaultRunner):
@@ -113,75 +191,62 @@ class BaryonifyShell(DefaultRunner):
         cat = self.HaloLightConeCatalog.cat
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
 
-        K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, float(hd["radius"].max()))
-        K = K_ring * K_phi
         dt = self.dtype
-
         model = self.model
 
         # ---------------- phase A: per-halo offset accumulation ----------
-        def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
-            pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                        K_ring, K_phi)
-            # fallback: fewer than 4 disc pixels -> use 4 interp neighbours
-            # (reference HealpixRunner.py:332-334)
-            count = jnp.sum(mask)
-            pix4, _ = hpx.get_interp_weights(NSIDE, theta_h, phi_h)
-            use4 = count < 4
-            pix = jnp.concatenate([pix, pix4])
-            mask = jnp.concatenate([mask & ~use4,
-                                    jnp.broadcast_to(use4, (4,))])
+        def make_body(K_ring, K_phi):
+            def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
+                         *o_h):
+                pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
+                                            K_ring, K_phi)
+                # fallback: fewer than 4 disc pixels -> 4 interp neighbours
+                # (reference HealpixRunner.py:332-334)
+                count = jnp.sum(mask)
+                pix4, _ = hpx.get_interp_weights(NSIDE, theta_h, phi_h)
+                use4 = count < 4
+                pix = jnp.concatenate([pix, pix4])
+                mask = jnp.concatenate([mask & ~use4,
+                                        jnp.broadcast_to(use4, (4,))])
 
-            vec = hpx.pix2vec(NSIDE, pix).astype(dt)         # (K+4, 3)
-            vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
-                               jnp.sin(theta_h) * jnp.sin(phi_h),
-                               jnp.cos(theta_h)]).astype(dt)
-            diff = (vec - vec_h[None, :]) * D_h               # phys. Mpc
-            r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
-            r_safe = jnp.where(r_sep > 0, r_sep, 1.0)
+                vec = hpx.pix2vec(NSIDE, pix).astype(dt)     # (K+4, 3)
+                vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
+                                   jnp.sin(theta_h) * jnp.sin(phi_h),
+                                   jnp.cos(theta_h)]).astype(dt)
+                diff = (vec - vec_h[None, :]) * D_h          # phys. Mpc
+                r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
+                r_safe = jnp.where(r_sep > 0, r_sep, 1.0)
 
-            kw = {k: o for k, o in zip(keys, o_h)}
-            d = model.displacement(r_sep / a_h, M_h, a_h, **kw) * a_h
-            d = jnp.reshape(d, r_sep.shape).astype(dt)
-            o = (d[:, None] * diff / (r_safe[:, None] * D_h)).astype(dt)
-            o = jnp.where(jnp.isfinite(o), o, 0.0)    # unit-vector units
+                kw = {k: o for k, o in zip(keys, o_h)}
+                d = model.displacement(r_sep / a_h, M_h, a_h, **kw) * a_h
+                d = jnp.reshape(d, r_sep.shape).astype(dt)
+                o = (d[:, None] * diff / (r_safe[:, None] * D_h)).astype(dt)
+                o = jnp.where(jnp.isfinite(o), o, 0.0)  # unit-vector units
 
-            # stable delta = ((1 - s) vec + o)/s, s = |vec + o|
-            s = jnp.sqrt(jnp.sum((vec + o) ** 2, axis=-1, keepdims=True))
-            one_m_s = -(2.0 * jnp.sum(vec * o, axis=-1, keepdims=True)
-                        + jnp.sum(o * o, axis=-1, keepdims=True)) / (1.0 + s)
-            delta = (one_m_s * vec + o) / s
+                # stable delta = ((1 - s) vec + o)/s, s = |vec + o|
+                s = jnp.sqrt(jnp.sum((vec + o) ** 2, axis=-1, keepdims=True))
+                one_m_s = -(2.0 * jnp.sum(vec * o, axis=-1, keepdims=True)
+                            + jnp.sum(o * o, axis=-1, keepdims=True)) \
+                    / (1.0 + s)
+                delta = (one_m_s * vec + o) / s
 
-            m = (mask & valid_h)[:, None]
-            delta = jnp.where(m, delta, 0.0)
-            pix = jnp.where(mask & valid_h, pix, npix)        # dummy row
-            return pix, delta
-
-        @jax.jit
-        def phase_a(batches):
-            acc = jnp.zeros((npix + 1, 3), dtype=dt)
+                m = (mask & valid_h)[:, None]
+                delta = jnp.where(m, delta, 0.0)
+                pix = jnp.where(mask & valid_h, pix, npix)   # dummy row
+                return pix, delta
 
             def body(acc, batch):
                 (theta_b, phi_b, rad_b, M_b, a_b, D_b, valid_b,
                  *extras_b) = batch
                 pix, delta = jax.vmap(one_halo)(theta_b, phi_b, rad_b, M_b,
-                                                a_b, D_b, valid_b, *extras_b)
+                                                a_b, D_b, valid_b,
+                                                *extras_b)
                 return acc.at[pix.reshape(-1)].add(
                     delta.reshape(-1, 3)), None
+            return body
 
-            acc, _ = jax.lax.scan(body, acc, batches)
-            return acc[:npix]
-
-        arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
-                  hd["D"]]
-        batched, valid = self._padded_batches(
-            [a.astype(np.float64) for a in arrays] + extras, self.halo_batch)
-        batches = tuple([jnp.asarray(batched[0]), jnp.asarray(batched[1]),
-                         jnp.asarray(batched[2]), jnp.asarray(batched[3]),
-                         jnp.asarray(batched[4]), jnp.asarray(batched[5]),
-                         jnp.asarray(valid)]
-                        + [jnp.asarray(b) for b in batched[6:]])
-        pix_offsets = phase_a(batches)
+        pix_offsets = self._bucketed_accumulate(
+            make_body, hd, extras, (npix + 1, 3), dt, NSIDE)[:npix]
 
         # ---------------- phase B: global regrid -------------------------
         # runs in float64: it is one fused pass over the map (not the
@@ -226,54 +291,45 @@ class PaintProfilesShell(DefaultRunner):
         cat = self.HaloLightConeCatalog.cat
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
 
-        K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, float(hd["radius"].max()))
         dt = self.dtype
         model = self.model
         include_pix = self.include_pixel_size
 
-        def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
-            pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                        K_ring, K_phi)
-            vec = hpx.pix2vec(NSIDE, pix).astype(dt)
-            vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
-                               jnp.sin(theta_h) * jnp.sin(phi_h),
-                               jnp.cos(theta_h)]).astype(dt)
-            diff = (vec - vec_h[None, :]) * D_h
-            r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
+        def make_body(K_ring, K_phi):
+            def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
+                         *o_h):
+                pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
+                                            K_ring, K_phi)
+                vec = hpx.pix2vec(NSIDE, pix).astype(dt)
+                vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
+                                   jnp.sin(theta_h) * jnp.sin(phi_h),
+                                   jnp.cos(theta_h)]).astype(dt)
+                diff = (vec - vec_h[None, :]) * D_h
+                r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
 
-            kw = {k: o for k, o in zip(keys, o_h)}
-            paint = model.projected(cosmo, r_sep / a_h, M_h, a_h, **kw)
-            paint = jnp.reshape(paint, r_sep.shape)
-            paint = jnp.where(jnp.isfinite(paint), paint, 0.0)
-            if include_pix:
-                paint = paint * (pixarea * D_h ** 2)
-            paint = jnp.where(mask & valid_h, paint, 0.0)
-            pix = jnp.where(mask & valid_h, pix, npix)
-            return pix, paint
-
-        @jax.jit
-        def run(batches):
-            acc = jnp.zeros(npix + 1, dtype=jnp.float64)
+                kw = {k: o for k, o in zip(keys, o_h)}
+                paint = model.projected(cosmo, r_sep / a_h, M_h, a_h, **kw)
+                paint = jnp.reshape(paint, r_sep.shape)
+                paint = jnp.where(jnp.isfinite(paint), paint, 0.0)
+                if include_pix:
+                    paint = paint * (pixarea * D_h ** 2)
+                paint = jnp.where(mask & valid_h, paint, 0.0)
+                pix = jnp.where(mask & valid_h, pix, npix)
+                return pix, paint
 
             def body(acc, batch):
                 (theta_b, phi_b, rad_b, M_b, a_b, D_b, valid_b,
                  *extras_b) = batch
                 pix, paint = jax.vmap(one_halo)(theta_b, phi_b, rad_b, M_b,
-                                                a_b, D_b, valid_b, *extras_b)
+                                                a_b, D_b, valid_b,
+                                                *extras_b)
                 return acc.at[pix.reshape(-1)].add(
                     paint.reshape(-1).astype(jnp.float64)), None
+            return body
 
-            acc, _ = jax.lax.scan(body, acc, batches)
-            return acc[:npix]
-
-        arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
-                  hd["D"]]
-        batched, valid = self._padded_batches(
-            [a.astype(np.float64) for a in arrays] + extras, self.halo_batch)
-        batches = tuple([jnp.asarray(b) for b in batched[:6]]
-                        + [jnp.asarray(valid)]
-                        + [jnp.asarray(b) for b in batched[6:]])
-        return np.asarray(run(batches))
+        acc = self._bucketed_accumulate(make_body, hd, extras, (npix + 1,),
+                                        jnp.float64, NSIDE)
+        return np.asarray(acc[:npix])
 
 
 class PaintProfilesAnisShell(DefaultRunner):
@@ -335,14 +391,14 @@ class PaintProfilesAnisShell(DefaultRunner):
         keys = self._model_p_keys()
         cat = self.HaloLightConeCatalog.cat
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
-        K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, float(hd["radius"].max()))
         dt = self.dtype
         model, tracer = self.model, self.Tracer_model
         include_pix = self.include_pixel_size
         Mtot_dev = jnp.asarray(Mtot_map)
         orig_dev = jnp.asarray(orig_map)
 
-        def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
+        def make_body(K_ring, K_phi):
+          def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
             pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
                                         K_ring, K_phi)
             vec = hpx.pix2vec(NSIDE, pix).astype(dt)
@@ -367,29 +423,18 @@ class PaintProfilesAnisShell(DefaultRunner):
             pix = jnp.where(mask & valid_h, pix, npix)
             return pix, val
 
-        @jax.jit
-        def run(batches):
-            acc = jnp.zeros(npix + 1, dtype=jnp.float64)
+          def body(acc, batch):
+            (theta_b, phi_b, rad_b, M_b, a_b, D_b, valid_b,
+             *extras_b) = batch
+            pix, val = jax.vmap(one_halo)(theta_b, phi_b, rad_b, M_b,
+                                          a_b, D_b, valid_b, *extras_b)
+            return acc.at[pix.reshape(-1)].add(
+                val.reshape(-1).astype(jnp.float64)), None
+          return body
 
-            def body(acc, batch):
-                (theta_b, phi_b, rad_b, M_b, a_b, D_b, valid_b,
-                 *extras_b) = batch
-                pix, val = jax.vmap(one_halo)(theta_b, phi_b, rad_b, M_b,
-                                              a_b, D_b, valid_b, *extras_b)
-                return acc.at[pix.reshape(-1)].add(
-                    val.reshape(-1).astype(jnp.float64)), None
-
-            acc, _ = jax.lax.scan(body, acc, batches)
-            return acc[:npix]
-
-        arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
-                  hd["D"]]
-        batched, valid = self._padded_batches(
-            [a.astype(np.float64) for a in arrays] + extras, self.halo_batch)
-        batches = tuple([jnp.asarray(b) for b in batched[:6]]
-                        + [jnp.asarray(valid)]
-                        + [jnp.asarray(b) for b in batched[6:]])
-        new_map = np.asarray(run(batches))
+        new_map = np.asarray(
+            self._bucketed_accumulate(make_body, hd, extras, (npix + 1,),
+                                      jnp.float64, NSIDE)[:npix])
 
         # background contribution
         mfrac_bg = np.where(Mtot_map > 0, dV * drho_m / Mtot_map, 0.0)

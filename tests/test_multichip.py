@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: sharded runner
+output must equal the single-device output exactly (same reductions)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from baryonforge_tpu import Profiles, Runners, utils, parallel
+from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification3D
+from defaults import COSMO, COSMO_DICT, bpar_S19
+
+NSIDE = 32
+NPIX = 12 * NSIDE * NSIDE
+RNG = np.random.default_rng(21)
+
+
+def _setup():
+    n = 48
+    ra = RNG.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(RNG.uniform(-1, 1, n)))
+    M = 10 ** RNG.uniform(13.5, 15.0, n)
+    z = RNG.uniform(0.1, 0.4, n)
+    cat = utils.HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z,
+                                     cosmo=COSMO_DICT)
+    DMO = Profiles.DarkMatter(**bpar_S19)
+    DMB = Profiles.DarkMatter(**{**bpar_S19, "epsilon": 2.0})
+    model = Baryonification3D(DMO, DMB, COSMO, epsilon_max=20)
+    model.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=3,
+                             M_min=1e13, M_max=3e15, N_samples_Mass=5,
+                             R_min=1e-3, R_max=50, N_samples_R=32,
+                             verbose=False)
+    return cat, model
+
+
+def test_sharded_baryonify_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cat, model = _setup()
+    raw = RNG.exponential(1.0, NPIX)
+    shell = utils.LightconeShell(map=raw, cosmo=COSMO_DICT)
+
+    single = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                                    halo_batch=8).process()
+    mesh = parallel.halo_mesh(8)
+    sharded = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                                     halo_batch=8, mesh=mesh).process()
+    np.testing.assert_allclose(sharded, single, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(sharded.sum(), raw.sum(), rtol=1e-8)
+
+
+def test_splitjoin_paint():
+    cat, _ = _setup()
+    tab = utils.TabulatedProfile(Profiles.DarkMatter(
+        **bpar_S19, proj_cutoff=100), COSMO)
+    tab.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=3,
+                           M_min=1e13, M_max=3e15, N_samples_Mass=5,
+                           R_min=1e-3, R_max=60, N_samples_R=32,
+                           verbose=False)
+    shell = utils.LightconeShell(map=np.zeros(NPIX), cosmo=COSMO_DICT)
+    runner = Runners.PaintProfilesShell(cat, shell, epsilon_max=5,
+                                        model=tab, halo_batch=8)
+    single = runner.process()
+    split = parallel.SplitJoinParallel(runner, mesh=parallel.halo_mesh(8))
+    out = split.process()
+    np.testing.assert_allclose(out, single, rtol=1e-12, atol=1e-15)
