@@ -176,25 +176,11 @@ class BaryonifyShell(DefaultRunner):
     Baryonification2D/3D table readout qualifies).
     """
 
-    def process(self):
-        from ..cosmo.core import cosmology_from_dict
-        cosmo = cosmology_from_dict(self.cosmo)
-
-        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
-        NSIDE = self.LightconeShell.NSIDE
-        npix = orig_map.size
-        if np.allclose(orig_map, 0):
-            return orig_map
-
-        hd = self._host_halo_data(cosmo)
-        keys = self._model_p_keys()
-        cat = self.HaloLightConeCatalog.cat
-        extras = [np.asarray(cat[k], dtype=float) for k in keys]
-
+    def _make_body_factory(self, NSIDE, npix, keys):
+        """Closure factory for the phase-A scan body (per disc-pad size)."""
         dt = self.dtype
         model = self.model
 
-        # ---------------- phase A: per-halo offset accumulation ----------
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
@@ -245,24 +231,41 @@ class BaryonifyShell(DefaultRunner):
                     delta.reshape(-1, 3)), None
             return body
 
+        return make_body
+
+    @staticmethod
+    def _phase_b(NSIDE, npix, pix_offsets, orig):
+        """Global regrid in float64: one fused pass over the map (not the
+        per-halo hot loop); f64 weights make zero displacement an exact
+        identity."""
+        p = jnp.arange(npix)
+        vec = hpx.pix2vec(NSIDE, p) + pix_offsets.astype(jnp.float64)
+        theta, phi = hpx.vec2ang(vec)
+        cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi)
+        new_map = jnp.zeros(npix, dtype=jnp.float64)
+        contrib = cw.astype(jnp.float64) * orig[:, None]      # (npix, 4)
+        return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
+
+    def process(self):
+        from ..cosmo.core import cosmology_from_dict
+        cosmo = cosmology_from_dict(self.cosmo)
+
+        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
+        NSIDE = self.LightconeShell.NSIDE
+        npix = orig_map.size
+        if np.allclose(orig_map, 0):
+            return orig_map
+
+        hd = self._host_halo_data(cosmo)
+        keys = self._model_p_keys()
+        cat = self.HaloLightConeCatalog.cat
+        extras = [np.asarray(cat[k], dtype=float) for k in keys]
+
+        make_body = self._make_body_factory(NSIDE, npix, keys)
         pix_offsets = self._bucketed_accumulate(
-            make_body, hd, extras, (npix + 1, 3), dt, NSIDE)[:npix]
+            make_body, hd, extras, (npix + 1, 3), self.dtype, NSIDE)[:npix]
 
-        # ---------------- phase B: global regrid -------------------------
-        # runs in float64: it is one fused pass over the map (not the
-        # per-halo hot loop) and f64 weights make the zero-displacement
-        # case an exact identity
-        @jax.jit
-        def phase_b(pix_offsets, orig):
-            p = jnp.arange(npix)
-            vec = hpx.pix2vec(NSIDE, p) + pix_offsets.astype(jnp.float64)
-            theta, phi = hpx.vec2ang(vec)
-            cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi)
-            new_map = jnp.zeros(npix, dtype=jnp.float64)
-            contrib = (cw.astype(jnp.float64)
-                       * orig[:, None])                       # (npix, 4)
-            return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
-
+        phase_b = jax.jit(partial(self._phase_b, NSIDE, npix))
         new_map = np.asarray(phase_b(pix_offsets, jnp.asarray(orig_map)))
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
@@ -270,6 +273,40 @@ class BaryonifyShell(DefaultRunner):
             "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
             "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
         return new_map
+
+    def build_step(self):
+        """Return (fn, example_args): the full baryonification step as one
+        pure jittable function (single-bucket phase A scan + phase B
+        regrid). Used by __graft_entry__ for compile checks and by sharded
+        execution paths."""
+        from ..cosmo.core import cosmology_from_dict
+        cosmo = cosmology_from_dict(self.cosmo)
+        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
+        NSIDE = self.LightconeShell.NSIDE
+        npix = orig_map.size
+
+        hd = self._host_halo_data(cosmo)
+        keys = self._model_p_keys()
+        cat = self.HaloLightConeCatalog.cat
+        extras = [np.asarray(cat[k], dtype=float) for k in keys]
+
+        K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, float(hd["radius"].max()))
+        body = self._make_body_factory(NSIDE, npix, keys)(K_ring, K_phi)
+        arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
+                  hd["D"]]
+        batched, valid = self._padded_batches(
+            [a.astype(np.float64) for a in arrays] + extras, self.halo_batch)
+        batches = tuple([jnp.asarray(b) for b in batched[:6]]
+                        + [jnp.asarray(valid)]
+                        + [jnp.asarray(b) for b in batched[6:]])
+        dt = self.dtype
+
+        def fn(batches, orig):
+            acc = jnp.zeros((npix + 1, 3), dtype=dt)
+            acc, _ = jax.lax.scan(body, acc, batches)
+            return self._phase_b(NSIDE, npix, acc[:npix], orig)
+
+        return fn, (batches, jnp.asarray(orig_map))
 
 
 class PaintProfilesShell(DefaultRunner):

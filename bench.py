@@ -1,0 +1,96 @@
+"""Benchmark: BaryonifyShell at NSIDE=1024 (the BASELINE.md primary metric).
+
+Reference baseline: 18,512 halos in ~12-16 s on 1 CPU core with an S19
+tabulated displacement (examples/04) => ~1,350 halos/s midpoint.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "halos/s", "vs_baseline": N/1350}
+
+Runs on whatever accelerator jax exposes (TPU under axon; CPU otherwise).
+The displacement-table build runs on the CPU backend (complex128 FFTs are
+unsupported on TPU); the per-halo hot path runs on the accelerator.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import baryonforge_tpu  # noqa: F401  (enables x64)
+    from baryonforge_tpu import Profiles, Runners, utils
+    from baryonforge_tpu import cosmo as bcosmo
+    from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification2D
+
+    n_halos = int(os.environ.get("BFG_BENCH_HALOS", 18512))
+    nside = int(os.environ.get("BFG_BENCH_NSIDE", 1024))
+    npix = 12 * nside * nside
+
+    h = 0.7
+    cosmo_dict = dict(Omega_m=0.30, Omega_b=0.045, h=h, sigma8=0.8,
+                      n_s=0.96, w0=-1.0)
+    cosmo = bcosmo.cosmology_from_dict(cosmo_dict)
+    bpar = dict(theta_ej=4, theta_co=0.1, M_c=1e14 / h, mu_beta=0.4,
+                eta=0.3, eta_delta=0.3, tau=-1.5, tau_delta=0,
+                A=0.09 / 2, M1=2.5e11 / h, epsilon_h=0.015,
+                a=0.3, n=2, epsilon=4, p=0.3, q=0.707, gamma=2, delta=7)
+
+    rng = np.random.default_rng(7)
+    ra = rng.uniform(0, 360, n_halos)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n_halos)))
+    M = 10 ** rng.uniform(13.0, 14.8, n_halos)
+    z = rng.uniform(0.8, 1.0, n_halos)
+    cat = utils.HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z,
+                                     cosmo=cosmo_dict)
+    shell = utils.LightconeShell(map=rng.exponential(1.0, npix),
+                                 cosmo=cosmo_dict)
+
+    # ---- displacement table (built on CPU backend, f64) -----------------
+    cpu = jax.devices("cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu):
+        DMO = Profiles.DarkMatterOnly(**bpar, proj_cutoff=100)
+        DMB = Profiles.DarkMatterBaryon(**bpar, proj_cutoff=100)
+        model = Baryonification2D(DMO, DMB, cosmo, epsilon_max=20)
+        model.setup_interpolator(z_min=0.7, z_max=1.1, N_samples_z=4,
+                                 M_min=5e12, M_max=2e15, N_samples_Mass=20,
+                                 R_min=1e-3, R_max=60, N_samples_R=64,
+                                 verbose=False)
+    t_table = time.time() - t0
+    print(f"# displacement table build: {t_table:.1f} s", file=sys.stderr)
+
+    runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                                    halo_batch=4096, verbose=False)
+
+    # warmup (jit compile)
+    t0 = time.time()
+    out = runner.process()
+    t_warm = time.time() - t0
+    print(f"# warmup (incl. compile): {t_warm:.1f} s", file=sys.stderr)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = runner.process()
+        times.append(time.time() - t0)
+    t_best = min(times)
+    print(f"# steady-state times: {[f'{t:.2f}' for t in times]}",
+          file=sys.stderr)
+
+    assert np.isfinite(out).all()
+    halos_per_s = n_halos / t_best
+    baseline = 1350.0      # reference midpoint, 1 CPU core
+    print(json.dumps({
+        "metric": "baryonify_shell_nside1024_halos_per_s",
+        "value": round(halos_per_s, 1),
+        "unit": "halos/s",
+        "vs_baseline": round(halos_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
