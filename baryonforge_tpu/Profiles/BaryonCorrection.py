@@ -65,17 +65,20 @@ class BaryonificationClass:
         r = np.asarray(r, dtype=float)
         r_min = min(float(r.min()), self.r_min_int)
         r_max = max(float(r.max()), self.r_max_int)
-        r_int = jnp.asarray(np.geomspace(r_min / 1.2, r_max * 1.2,
-                                         self.N_int))
-        dlnr = jnp.log(r_int[1] / r_int[0])
+        # keep the grid as host numpy: the profile entry points derive
+        # their integration grids from concrete r, and this function must
+        # remain traceable in `a` (jit over redshift samples)
+        r_int_np = np.geomspace(r_min / 1.2, r_max * 1.2, self.N_int)
+        r_int = jnp.asarray(r_int_np)
+        dlnr = float(np.log(r_int_np[1] / r_int_np[0]))
 
         M_use = jnp.atleast_1d(jnp.asarray(M, dtype=jnp.result_type(float)))
         if projected:
-            dens = model.projected(self.cosmo, np.asarray(r_int), M_use, a) * a
+            dens = model.projected(self.cosmo, r_int_np, M_use, a) * a
             dens = jnp.atleast_2d(dens)
             intgd = 2 * jnp.pi * r_int ** 2 * dens * dlnr
         else:
-            dens = model.real(self.cosmo, np.asarray(r_int), M_use, a)
+            dens = model.real(self.cosmo, r_int_np, M_use, a)
             dens = jnp.atleast_2d(dens)
             intgd = 4 * jnp.pi * r_int ** 3 * dens * dlnr
         dens = jnp.where(dens < 0, 0.0, dens)
@@ -125,18 +128,24 @@ class BaryonificationClass:
 
         lnr = jnp.log(jnp.asarray(r))
 
+        # param combos outer so each combo's jitted kernel (profile params
+        # are trace-time constants) compiles once and sweeps all z fast
         combos = list(product(*[range(v.size) for v in p_vals])) or [()]
-        for j in range(z_range.size):
-            for c in combos:
-                for ki, key in enumerate(self.p_keys):
-                    _set_parameter(self.DMO, key, p_vals[ki][c[ki]])
-                    _set_parameter(self.DMB, key, p_vals[ki][c[ki]])
+        for c in combos:
+            for ki, key in enumerate(self.p_keys):
+                _set_parameter(self.DMO, key, p_vals[ki][c[ki]])
+                _set_parameter(self.DMB, key, p_vals[ki][c[ki]])
 
-                M_DMO = self.get_masses(self.DMO, r, M_range, a_range[j])
-                M_DMB = self.get_masses(self.DMB, r, M_range, a_range[j])
-                offset = np.asarray(
-                    _displacement_rows(lnr, jnp.asarray(M_DMO),
-                                       jnp.asarray(M_DMB)))
+            @jax.jit
+            def one_z(a_j):
+                M_DMO = self._enclosed_mass_curve(
+                    self.DMO, r, M_range, a_j, projected=self._projected)
+                M_DMB = self._enclosed_mass_curve(
+                    self.DMB, r, M_range, a_j, projected=self._projected)
+                return _displacement_rows(lnr, M_DMO, M_DMB)
+
+            for j in range(z_range.size):
+                offset = np.asarray(one_z(a_range[j]))
 
                 bad = ~np.isfinite(offset).any(axis=-1)
                 offset = np.where(np.isfinite(offset), offset, 0.0)
@@ -150,7 +159,8 @@ class BaryonificationClass:
                 if Rdelta_sampling:
                     for i in range(M_range.size):
                         Rdelta = float(self.mass_def.get_radius(
-                            self.cosmo, M_range[i], a_range[j])) / a_range[j]
+                            self.cosmo, M_range[i],
+                            a_range[j])) / a_range[j]
                         offset[i] = np.interp(rdelta_range, r / Rdelta,
                                               offset[i])
 
@@ -263,6 +273,8 @@ class Baryonification3D(BaryonificationClass):
     """3D displacement: invert 3D enclosed-mass curves
     (reference BaryonCorrection.py:464-578)."""
 
+    _projected = False
+
     def get_masses(self, model, r, M, a):
         out = self._enclosed_mass_curve(model, r, M, a, projected=False)
         return np.asarray(out)
@@ -271,6 +283,8 @@ class Baryonification3D(BaryonificationClass):
 class Baryonification2D(BaryonificationClass):
     """2D displacement: invert projected enclosed-mass curves
     M(<R) = ∫ 2 pi R Sigma(R) a dlnR (reference BaryonCorrection.py:581-694)."""
+
+    _projected = True
 
     def get_masses(self, model, r, M, a):
         out = self._enclosed_mass_curve(model, r, M, a, projected=True)

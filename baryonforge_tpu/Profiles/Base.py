@@ -214,8 +214,10 @@ class Profile:
         return self._projected_realspace(cosmo, r, M, a, **kwargs)
 
     def projected(self, cosmo, r, M, a, **kwargs):
-        r_use, M_use = _atleast_1d_pair(r, M)
-        prof = self._projected(cosmo, r_use, M_use, a, **kwargs)
+        # pass raw r through: the LOS grid construction needs host-concrete
+        # r values (static shapes); the implementations atleast_1d r
+        # themselves
+        prof = self._projected(cosmo, r, M, a, **kwargs)
         return _mirror_dims(prof, r, M)
 
     # -- fourier -----------------------------------------------------------
@@ -231,7 +233,7 @@ class Profile:
 
     def _fourier_fftlog(self, cosmo, k, M, a, **kwargs):
         k_use, M_use = _atleast_1d_pair(k, M)
-        r_grid = self._fftlog_r_grid(np.asarray(k))
+        r_grid = self._fftlog_r_grid(k)
         prof = self._real(cosmo, r_grid, M_use, a, **kwargs)   # (M, R)
         plaw = self.precision_fftlog["plaw_fourier"]
 
@@ -241,11 +243,12 @@ class Profile:
         return jax.vmap(tr)(prof)                               # (M, k)
 
     def fourier(self, cosmo, k, M, a, **kwargs):
-        k_use, M_use = _atleast_1d_pair(k, M)
+        # raw k passes through so the reciprocal grids stay host-concrete
         if hasattr(self, "_fourier"):
+            k_use, M_use = _atleast_1d_pair(k, M)
             prof = self._fourier(cosmo, k_use, M_use, a, **kwargs)
         else:
-            prof = self._fourier_fftlog(cosmo, k_use, M_use, a, **kwargs)
+            prof = self._fourier_fftlog(cosmo, k, M, a, **kwargs)
         return _mirror_dims(prof, k, M)
 
     def _projected_fftlog(self, cosmo, r, M, a, **kwargs):

@@ -60,6 +60,10 @@ class DefaultRunner:
         self.mesh = mesh
         self.n_size_buckets = n_size_buckets
         self.pixel_budget = pixel_budget
+        # compiled-kernel cache: closures are rebuilt on every process()
+        # call, so jit identity alone would recompile each time; we key
+        # compiled executables by static shape info instead
+        self._compiled = {}
         if use_ellipticity:
             raise NotImplementedError(
                 "use_ellipticity is not implemented for curved-sky runners")
@@ -68,24 +72,29 @@ class DefaultRunner:
         """Scan ``scan_fn`` over the batch axis, optionally sharded over
         the mesh's 'halos' axis with a psum reduction."""
 
-        def local(batches_local, varying=False):
-            acc = jnp.zeros(acc_shape, dtype=acc_dtype)
-            if varying:   # inside shard_map the carry must be axis-varying
-                acc = jax.lax.pvary(acc, ("halos",))
-            acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
-            return acc
+        key = (tuple((tuple(b.shape), str(b.dtype)) for b in batches),
+               tuple(acc_shape), str(acc_dtype), self.mesh is None)
+        if key not in self._compiled:
+            def local(batches_local, varying=False):
+                acc = jnp.zeros(acc_shape, dtype=acc_dtype)
+                if varying:  # in shard_map the carry must be axis-varying
+                    acc = jax.lax.pvary(acc, ("halos",))
+                acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
+                return acc
 
-        if self.mesh is None:
-            return jax.jit(local)(batches)
+            if self.mesh is None:
+                self._compiled[key] = jax.jit(local)
+            else:
+                from jax.sharding import PartitionSpec as P
 
-        from jax.sharding import PartitionSpec as P
+                def sharded(batches_local):
+                    return jax.lax.psum(local(batches_local, varying=True),
+                                        "halos")
 
-        def sharded(batches_local):
-            return jax.lax.psum(local(batches_local, varying=True), "halos")
-
-        fn = jax.jit(jax.shard_map(sharded, mesh=self.mesh,
-                                   in_specs=P("halos"), out_specs=P()))
-        return fn(batches)
+                self._compiled[key] = jax.jit(
+                    jax.shard_map(sharded, mesh=self.mesh,
+                                  in_specs=P("halos"), out_specs=P()))
+        return self._compiled[key](batches)
 
     def _n_batch_multiple(self):
         return 1 if self.mesh is None else self.mesh.devices.size
@@ -265,8 +274,12 @@ class BaryonifyShell(DefaultRunner):
         pix_offsets = self._bucketed_accumulate(
             make_body, hd, extras, (npix + 1, 3), self.dtype, NSIDE)[:npix]
 
-        phase_b = jax.jit(partial(self._phase_b, NSIDE, npix))
-        new_map = np.asarray(phase_b(pix_offsets, jnp.asarray(orig_map)))
+        bkey = ("phase_b", NSIDE, npix)
+        if bkey not in self._compiled:
+            self._compiled[bkey] = jax.jit(
+                partial(self._phase_b, NSIDE, npix))
+        new_map = np.asarray(
+            self._compiled[bkey](pix_offsets, jnp.asarray(orig_map)))
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (

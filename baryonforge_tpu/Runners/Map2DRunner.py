@@ -72,6 +72,10 @@ class DefaultRunnerGrid:
         self.mesh = mesh
         self.n_size_buckets = n_size_buckets
         self.pixel_budget = pixel_budget
+        # compiled-kernel cache: closures are rebuilt on every process()
+        # call, so jit identity alone would recompile each time; we key
+        # compiled executables by static shape info instead
+        self._compiled = {}
 
         if use_ellipticity:
             names = HaloNDCatalog.cat.dtype.names
@@ -99,24 +103,29 @@ class DefaultRunnerGrid:
         return list(vars(self.model).get("p_keys", []))
 
     def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype):
-        def local(batches_local, varying=False):
-            acc = jnp.zeros(acc_shape, dtype=acc_dtype)
-            if varying:
-                acc = jax.lax.pvary(acc, ("halos",))
-            acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
-            return acc
+        key = (tuple((tuple(b.shape), str(b.dtype)) for b in batches),
+               tuple(acc_shape), str(acc_dtype), self.mesh is None)
+        if key not in self._compiled:
+            def local(batches_local, varying=False):
+                acc = jnp.zeros(acc_shape, dtype=acc_dtype)
+                if varying:  # in shard_map the carry must be axis-varying
+                    acc = jax.lax.pvary(acc, ("halos",))
+                acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
+                return acc
 
-        if self.mesh is None:
-            return jax.jit(local)(batches)
+            if self.mesh is None:
+                self._compiled[key] = jax.jit(local)
+            else:
+                from jax.sharding import PartitionSpec as P
 
-        from jax.sharding import PartitionSpec as P
+                def sharded(batches_local):
+                    return jax.lax.psum(local(batches_local, varying=True),
+                                        "halos")
 
-        def sharded(batches_local):
-            return jax.lax.psum(local(batches_local, varying=True), "halos")
-
-        fn = jax.jit(jax.shard_map(sharded, mesh=self.mesh,
-                                   in_specs=P("halos"), out_specs=P()))
-        return fn(batches)
+                self._compiled[key] = jax.jit(
+                    jax.shard_map(sharded, mesh=self.mesh,
+                                  in_specs=P("halos"), out_specs=P()))
+        return self._compiled[key](batches)
 
     def _n_batch_multiple(self):
         return 1 if self.mesh is None else self.mesh.devices.size
@@ -270,7 +279,6 @@ class BaryonifyGrid(DefaultRunnerGrid):
             make_body, Nsize, per_halo, (nflat, ndim), dt)
 
         # regrid: integer lattice + offsets -> conservative deposit
-        @jax.jit
         def regrid(pix_offsets, orig_flat):
             po = jnp.where(jnp.isfinite(pix_offsets), pix_offsets, 0.0)
             po = po.astype(jnp.float64)
@@ -290,8 +298,12 @@ class BaryonifyGrid(DefaultRunnerGrid):
                                  orig_flat)
             return new
 
-        new_map = np.asarray(regrid(pix_offsets,
-                                    jnp.asarray(orig_map.reshape(-1))))
+        rkey = ("regrid", Npix, is2D)
+        if rkey not in self._compiled:
+            self._compiled[rkey] = jax.jit(regrid)
+        new_map = np.asarray(
+            self._compiled[rkey](pix_offsets,
+                                 jnp.asarray(orig_map.reshape(-1))))
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
             "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
