@@ -177,12 +177,16 @@ class Profile:
         r_np = np.atleast_1d(np.asarray(r, dtype=float))
         int_min = self.padding_lo_proj * float(r_np.min())
         int_max = self.padding_hi_proj * float(r_np.max())
-        int_N = int(self.n_per_decade_proj
-                    * np.int32(np.log10(int_max / int_min)))
         if self.proj_cutoff is not None:
             int_max = max(self.proj_cutoff, int_max)
         r_max = self.proj_cutoff if self.proj_cutoff is not None else \
             (self.cutoff if self.cutoff is not None else 1e4)
+        # size the grid AFTER the cutoff extension (the reference sizes it
+        # before, Base.py:219-225, leaving narrow-r calls badly
+        # under-resolved: e.g. 20 points spanning 4 decades)
+        span = max(int_max, r_max) / int_min
+        int_N = max(int(self.n_per_decade_proj * np.int32(np.log10(span))),
+                    4 * self.n_per_decade_proj)
         r_integral = np.geomspace(int_min, int_max, int_N)
         r_proj = np.geomspace(int_min, r_max, int_N)
         return jnp.asarray(r_integral), jnp.asarray(r_proj)
@@ -195,17 +199,21 @@ class Profile:
         """
         r_use, M_use = _atleast_1d_pair(r, M)
         r_integral, r_proj = self._projection_grids(np.asarray(r))
-        prof = self._real(cosmo, r_integral, M_use, a, **kwargs)  # (M, L)
 
-        # interp prof at sqrt(r_proj^2 + r_j^2) for each output r_j
+        # evaluate the density EXACTLY at the LOS points sqrt(l^2 + R^2)
+        # (the reference linearly interpolates a log-grid sample,
+        # Base.py:254 — several-% systematic error on steep profiles) and
+        # integrate in log-ell: ∫ f dl = ∫ f l dlnl (second-order accurate
+        # on the geometric grid)
         s = jnp.sqrt(r_proj[None, :] ** 2 + r_use[:, None] ** 2)  # (r, L)
-        lnr = jnp.log(r_integral)
-
-        def interp_row(p_row):
-            return jnp.interp(s, r_integral, p_row)   # linear in r like ref
-
-        vals = jax.vmap(interp_row)(prof)              # (M, r, L)
-        proj = 2.0 * jnp.trapezoid(vals, r_proj[None, None, :], axis=-1)
+        vals = self._real(cosmo, s.reshape(-1), M_use, a, **kwargs)
+        vals = vals.reshape(M_use.size, r_use.size, r_proj.size)
+        proj = 2.0 * jnp.trapezoid(vals * r_proj[None, None, :],
+                                   jnp.log(r_proj)[None, None, :], axis=-1)
+        # l in [0, int_min] segment (dropped by the grid; the integrand is
+        # flat there since s ~ R): rectangle correction. The reference
+        # drops this chunk entirely (up to ~10% of Sigma for scalar r).
+        proj = proj + 2.0 * r_proj[0] * vals[..., 0]
         return proj
 
     def _projected(self, cosmo, r, M, a, **kwargs):
