@@ -184,24 +184,34 @@ class BaryonificationClass:
         return self
 
     # ------------------------------------------------------------------
+    def with_dtype(self, dtype):
+        """Shallow copy with the lookup table cast to ``dtype`` — the
+        runner hot path reads the table in f32 on TPU (the table itself is
+        built in f64; the readout interpolation does not need f64)."""
+        import copy
+        new = copy.copy(self)
+        new._axes = tuple(a.astype(dtype) for a in self._axes)
+        new._table = self._table.astype(dtype)
+        return new
+
     def _readout(self, r, M, a, **kwargs):
-        r_use = jnp.atleast_1d(jnp.asarray(r, dtype=jnp.result_type(float)))
-        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=jnp.result_type(float)))
+        dt = self._table.dtype
+        r_use = jnp.atleast_1d(jnp.asarray(r, dtype=dt))
+        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=dt))
         nM, nr = M_use.size, r_use.size
 
-        R = self.mass_def.get_radius(self.cosmo, M_use, a) / a  # comoving
+        R = (self.mass_def.get_radius(self.cosmo, M_use, a) / a).astype(dt)
         lnr_in = jnp.log(r_use)[None, :] - (
             jnp.log(R)[:, None] if self.Rdelta_sampling else 0.0)
 
-        cols = [jnp.broadcast_to(jnp.log(1.0 / jnp.asarray(a)),
+        cols = [jnp.broadcast_to(jnp.log(1.0 / jnp.asarray(a)).astype(dt),
                                  (nM, nr)).reshape(-1),
                 jnp.broadcast_to(jnp.log(M_use)[:, None],
                                  (nM, nr)).reshape(-1),
                 jnp.broadcast_to(lnr_in, (nM, nr)).reshape(-1)]
         for k in self.p_keys:
             cols.append(jnp.broadcast_to(
-                jnp.asarray(kwargs[k], dtype=jnp.result_type(float)),
-                (nM, nr)).reshape(-1))
+                jnp.asarray(kwargs[k], dtype=dt), (nM, nr)).reshape(-1))
         pts = jnp.stack(cols, axis=1)
         displ = multilinear_interp(self._axes, self._table, pts,
                                    fill_value=jnp.nan)

@@ -41,7 +41,8 @@ class DefaultRunner:
                  model, use_ellipticity=False,
                  mass_def=_massdef.MassDef200c, include_pixel_size=False,
                  verbose=True, halo_batch=4096, dtype=jnp.float32,
-                 mesh=None, n_size_buckets=4, pixel_budget=4_000_000):
+                 mesh=None, n_size_buckets=4, pixel_budget=4_000_000,
+                 regrid_dtype=jnp.float64):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -60,6 +61,7 @@ class DefaultRunner:
         self.mesh = mesh
         self.n_size_buckets = n_size_buckets
         self.pixel_budget = pixel_budget
+        self.regrid_dtype = regrid_dtype
         # compiled-kernel cache: closures are rebuilt on every process()
         # call, so jit identity alone would recompile each time; we key
         # compiled executables by static shape info instead
@@ -189,22 +191,24 @@ class BaryonifyShell(DefaultRunner):
         """Closure factory for the phase-A scan body (per disc-pad size)."""
         dt = self.dtype
         model = self.model
+        if dt == jnp.float32 and hasattr(model, "with_dtype"):
+            model = model.with_dtype(dt)   # f32 table readout on device
 
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
                 pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                            K_ring, K_phi)
+                                            K_ring, K_phi, dt)
                 # fallback: fewer than 4 disc pixels -> 4 interp neighbours
                 # (reference HealpixRunner.py:332-334)
                 count = jnp.sum(mask)
-                pix4, _ = hpx.get_interp_weights(NSIDE, theta_h, phi_h)
+                pix4, _ = hpx.get_interp_weights(NSIDE, theta_h, phi_h, dt)
                 use4 = count < 4
                 pix = jnp.concatenate([pix, pix4])
                 mask = jnp.concatenate([mask & ~use4,
                                         jnp.broadcast_to(use4, (4,))])
 
-                vec = hpx.pix2vec(NSIDE, pix).astype(dt)     # (K+4, 3)
+                vec = hpx.pix2vec(NSIDE, pix, dt)            # (K+4, 3)
                 vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
                                    jnp.sin(theta_h) * jnp.sin(phi_h),
                                    jnp.cos(theta_h)]).astype(dt)
@@ -243,14 +247,15 @@ class BaryonifyShell(DefaultRunner):
         return make_body
 
     @staticmethod
-    def _phase_b(NSIDE, npix, pix_offsets, orig):
-        """Global regrid in float64: one fused pass over the map (not the
-        per-halo hot loop); f64 weights make zero displacement an exact
-        identity."""
+    def _phase_b(NSIDE, npix, rdt, pix_offsets, orig):
+        """Global regrid: one fused pass over the map. In float64 (default)
+        the zero-displacement case is an exact identity; float32
+        (regrid_dtype option) carries ~1e-4 weight noise — within the 1e-3
+        map-parity budget — and runs natively on TPU."""
         p = jnp.arange(npix)
-        vec = hpx.pix2vec(NSIDE, p) + pix_offsets.astype(jnp.float64)
+        vec = hpx.pix2vec(NSIDE, p, rdt) + pix_offsets.astype(rdt)
         theta, phi = hpx.vec2ang(vec)
-        cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi)
+        cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
         new_map = jnp.zeros(npix, dtype=jnp.float64)
         contrib = cw.astype(jnp.float64) * orig[:, None]      # (npix, 4)
         return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
@@ -274,10 +279,11 @@ class BaryonifyShell(DefaultRunner):
         pix_offsets = self._bucketed_accumulate(
             make_body, hd, extras, (npix + 1, 3), self.dtype, NSIDE)[:npix]
 
-        bkey = ("phase_b", NSIDE, npix)
+        rdt = self.regrid_dtype
+        bkey = ("phase_b", NSIDE, npix, str(rdt))
         if bkey not in self._compiled:
             self._compiled[bkey] = jax.jit(
-                partial(self._phase_b, NSIDE, npix))
+                partial(self._phase_b, NSIDE, npix, rdt))
         new_map = np.asarray(
             self._compiled[bkey](pix_offsets, jnp.asarray(orig_map)))
 
@@ -317,7 +323,8 @@ class BaryonifyShell(DefaultRunner):
         def fn(batches, orig):
             acc = jnp.zeros((npix + 1, 3), dtype=dt)
             acc, _ = jax.lax.scan(body, acc, batches)
-            return self._phase_b(NSIDE, npix, acc[:npix], orig)
+            return self._phase_b(NSIDE, npix, self.regrid_dtype,
+                                 acc[:npix], orig)
 
         return fn, (batches, jnp.asarray(orig_map))
 
@@ -349,16 +356,17 @@ class PaintProfilesShell(DefaultRunner):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
                 pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                            K_ring, K_phi)
-                vec = hpx.pix2vec(NSIDE, pix).astype(dt)
+                                            K_ring, K_phi, dt)
+                vec = hpx.pix2vec(NSIDE, pix, dt)
                 vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
                                    jnp.sin(theta_h) * jnp.sin(phi_h),
                                    jnp.cos(theta_h)]).astype(dt)
-                diff = (vec - vec_h[None, :]) * D_h
+                diff = (vec - vec_h[None, :]) * D_h.astype(dt)
                 r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
 
                 kw = {k: o for k, o in zip(keys, o_h)}
-                paint = model.projected(cosmo, r_sep / a_h, M_h, a_h, **kw)
+                paint = model.projected(cosmo, r_sep / a_h.astype(dt), M_h,
+                                        a_h, **kw)
                 paint = jnp.reshape(paint, r_sep.shape)
                 paint = jnp.where(jnp.isfinite(paint), paint, 0.0)
                 if include_pix:
@@ -450,8 +458,8 @@ class PaintProfilesAnisShell(DefaultRunner):
         def make_body(K_ring, K_phi):
           def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
             pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                        K_ring, K_phi)
-            vec = hpx.pix2vec(NSIDE, pix).astype(dt)
+                                        K_ring, K_phi, dt)
+            vec = hpx.pix2vec(NSIDE, pix, dt)
             vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
                                jnp.sin(theta_h) * jnp.sin(phi_h),
                                jnp.cos(theta_h)]).astype(dt)

@@ -37,11 +37,12 @@ def nside2pixarea(nside):
 # ---------------------------------------------------------------------------
 # Ring bookkeeping. Rings are numbered i = 1 .. 4 nside - 1 (north to south).
 # ---------------------------------------------------------------------------
-def ring_info(nside, i):
+def ring_info(nside, i, dtype=jnp.float64):
     """Per-ring data (vectorized over ring index i).
 
     Returns (start_pixel, n_in_ring, z_ring, shifted) where ``shifted`` is
     1.0 if pixel centers sit at phi = (j + 0.5) * dphi and 0.0 otherwise.
+    Float outputs are computed in ``dtype`` (f32 for the TPU hot path).
     """
     i = jnp.asarray(i)
     N = nside
@@ -54,11 +55,13 @@ def ring_info(nside, i):
     sp = jnp.where(north, 2 * i * (i - 1),
                    jnp.where(south, npix(nside) - 2 * i_s * (i_s + 1),
                              ncap + (i - N) * 4 * N))
-    z = jnp.where(north, 1.0 - i ** 2 / (3.0 * N ** 2),
-                  jnp.where(south, -1.0 + i_s ** 2 / (3.0 * N ** 2),
-                            4.0 / 3.0 - 2.0 * i / (3.0 * N)))
+    i_f = i.astype(dtype)
+    i_sf = i_s.astype(dtype)
+    z = jnp.where(north, 1.0 - i_f ** 2 / (3.0 * N ** 2),
+                  jnp.where(south, -1.0 + i_sf ** 2 / (3.0 * N ** 2),
+                            4.0 / 3.0 - 2.0 * i_f / (3.0 * N))).astype(dtype)
     shifted = jnp.where(north | south, 1.0,
-                        jnp.where((i - N) % 2 == 0, 1.0, 0.0))
+                        jnp.where((i - N) % 2 == 0, 1.0, 0.0)).astype(dtype)
     return sp, nr, z, shifted
 
 
@@ -78,9 +81,11 @@ def ring_above(nside, z):
 # ---------------------------------------------------------------------------
 # pix <-> ang / vec
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnums=(0,))
-def pix2ang(nside, p):
-    """Ring-scheme pixel center -> (theta, phi). Vectorized over p."""
+@partial(jax.jit, static_argnums=(0, 2))
+def pix2ang(nside, p, dtype=jnp.float64):
+    """Ring-scheme pixel center -> (theta, phi). Vectorized over p.
+    Float math in ``dtype``; note f32 pixel centers carry ~1e-7 rad noise
+    (fine for gather/paint; use f64 for exact regrid weights)."""
     p = jnp.asarray(p, dtype=jnp.int64)
     N = nside
     ncap = 2 * N * (N - 1)
@@ -92,15 +97,15 @@ def pix2ang(nside, p):
     i_n = jnp.where(2 * i_n * (i_n - 1) > p, i_n - 1, i_n)
     i_n = jnp.where(2 * i_n * (i_n + 1) <= p, i_n + 1, i_n)
     j_n = p - 2 * i_n * (i_n - 1)
-    z_n = 1.0 - i_n ** 2 / (3.0 * N ** 2)
-    phi_n = (jnp.pi / (2.0 * i_n)) * (j_n + 0.5)
+    z_n = 1.0 - i_n.astype(dtype) ** 2 / (3.0 * N ** 2)
+    phi_n = (jnp.pi / (2.0 * i_n.astype(dtype))) * (j_n + 0.5)
 
     # equatorial belt
     pe = p - ncap
     i_e = N + pe // (4 * N)
     j_e = pe % (4 * N)
-    z_e = 4.0 / 3.0 - 2.0 * i_e / (3.0 * N)
-    s_e = jnp.where((i_e - N) % 2 == 0, 1.0, 0.0)
+    z_e = 4.0 / 3.0 - 2.0 * i_e.astype(dtype) / (3.0 * N)
+    s_e = jnp.where((i_e - N) % 2 == 0, dtype(1.0), dtype(0.0))
     phi_e = (jnp.pi / (2.0 * N)) * (j_e + 0.5 * s_e)
 
     # south cap
@@ -110,21 +115,22 @@ def pix2ang(nside, p):
     i_ss = jnp.where(2 * i_ss * (i_ss + 1) <= ps, i_ss + 1, i_ss)
     j_ss = ps - 2 * i_ss * (i_ss - 1)
     j_s = 4 * i_ss - 1 - j_ss
-    z_s = -1.0 + i_ss ** 2 / (3.0 * N ** 2)
-    phi_s = (jnp.pi / (2.0 * i_ss)) * (j_s + 0.5)
+    z_s = -1.0 + i_ss.astype(dtype) ** 2 / (3.0 * N ** 2)
+    phi_s = (jnp.pi / (2.0 * i_ss.astype(dtype))) * (j_s + 0.5)
 
     north = p < ncap
     south = p >= npx - ncap
-    z = jnp.where(north, z_n, jnp.where(south, z_s, z_e))
-    phi = jnp.where(north, phi_n, jnp.where(south, phi_s, phi_e))
+    z = jnp.where(north, z_n, jnp.where(south, z_s, z_e)).astype(dtype)
+    phi = jnp.where(north, phi_n,
+                    jnp.where(south, phi_s, phi_e)).astype(dtype)
     theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
     return theta, phi
 
 
-@partial(jax.jit, static_argnums=(0,))
-def pix2vec(nside, p):
+@partial(jax.jit, static_argnums=(0, 2))
+def pix2vec(nside, p, dtype=jnp.float64):
     """Pixel center unit vectors, shape (..., 3)."""
-    theta, phi = pix2ang(nside, p)
+    theta, phi = pix2ang(nside, p, dtype)
     st = jnp.sin(theta)
     return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
                       jnp.cos(theta)], axis=-1)
@@ -189,9 +195,9 @@ def lonlat2thetaphi(ra_deg, dec_deg):
 # ---------------------------------------------------------------------------
 # Bilinear interpolation (healpy get_interp_weights semantics)
 # ---------------------------------------------------------------------------
-def _ring_phi_neighbors(nside, ring, phi):
+def _ring_phi_neighbors(nside, ring, phi, dtype=jnp.float64):
     """Two pixels bracketing ``phi`` in ``ring`` and the phi weight."""
-    sp, nr, z, shifted = ring_info(nside, ring)
+    sp, nr, z, shifted = ring_info(nside, ring, dtype)
     dphi = 2.0 * jnp.pi / nr
     tmp = phi / dphi - 0.5 * shifted
     i1 = jnp.floor(tmp).astype(jnp.int64)
@@ -203,16 +209,17 @@ def _ring_phi_neighbors(nside, ring, phi):
     return sp + i1, sp + i2, w, theta_ring
 
 
-@partial(jax.jit, static_argnums=(0,))
-def get_interp_weights(nside, theta, phi):
+@partial(jax.jit, static_argnums=(0, 3))
+def get_interp_weights(nside, theta, phi, dtype=jnp.float64):
     """4 neighbour pixels + bilinear weights for each (theta, phi).
 
     Returns (pix, wgt) with shape (..., 4), matching healpy's
-    ``get_interp_weights`` (transposed layout).
+    ``get_interp_weights`` (transposed layout). ``dtype`` controls the
+    float math (weights carry ~1e-4 noise in f32 at NSIDE~1k).
     """
     N = nside
-    theta = jnp.asarray(theta)
-    phi = jnp.mod(jnp.asarray(phi), 2.0 * jnp.pi)
+    theta = jnp.asarray(theta, dtype=dtype)
+    phi = jnp.mod(jnp.asarray(phi), 2.0 * jnp.pi).astype(dtype)
     z = jnp.cos(theta)
     ir1 = ring_above(N, z)
     ir2 = ir1 + 1
@@ -220,8 +227,8 @@ def get_interp_weights(nside, theta, phi):
     # ring data — clamp to valid rings; the pole branches overwrite later
     r1 = jnp.clip(ir1, 1, 4 * N - 1)
     r2 = jnp.clip(ir2, 1, 4 * N - 1)
-    p0, p1, w_phi1, theta1 = _ring_phi_neighbors(N, r1, phi)
-    p2, p3, w_phi2, theta2 = _ring_phi_neighbors(N, r2, phi)
+    p0, p1, w_phi1, theta1 = _ring_phi_neighbors(N, r1, phi, dtype)
+    p2, p3, w_phi2, theta2 = _ring_phi_neighbors(N, r2, phi, dtype)
 
     wgt0 = 1.0 - w_phi1
     wgt1 = w_phi1
@@ -313,8 +320,9 @@ def disc_pad_sizes(nside, radius_max):
     return K_ring, K_phi
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi):
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi,
+                dtype=jnp.float64):
     """All ring-scheme pixels whose centers lie within ``radius`` of
     (theta0, phi0) — returned as a padded static array.
 
@@ -322,13 +330,16 @@ def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi):
     a boolean mask of true members. Scalar inputs only (vmap over halos).
     """
     N = nside
+    theta0 = jnp.asarray(theta0, dtype=dtype)
+    phi0 = jnp.asarray(phi0, dtype=dtype)
+    radius = jnp.asarray(radius, dtype=dtype)
     z_top = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
     ring_top = jnp.clip(ring_above(N, z_top), 0, 4 * N - 1)
     rings = ring_top + 1 + jnp.arange(K_ring)          # candidate rings
     ring_ok = (rings >= 1) & (rings <= 4 * N - 1)
     rings_c = jnp.clip(rings, 1, 4 * N - 1)
 
-    sp, nr, zr, shifted = ring_info(N, rings_c)
+    sp, nr, zr, shifted = ring_info(N, rings_c, dtype)
     dphi = 2.0 * jnp.pi / nr
     jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int64)
     dp = jnp.arange(K_phi) - (K_phi - 1) // 2   # [-(K-1)//2, K//2] inclusive

@@ -63,8 +63,11 @@ def main():
     t_table = time.time() - t0
     print(f"# displacement table build: {t_table:.1f} s", file=sys.stderr)
 
+    import jax.numpy as jnp
     runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
-                                    halo_batch=4096, verbose=False)
+                                    halo_batch=4096, verbose=False,
+                                    n_size_buckets=6,
+                                    regrid_dtype=jnp.float32)
 
     # warmup (jit compile)
     t0 = time.time()
