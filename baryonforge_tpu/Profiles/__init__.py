@@ -11,3 +11,4 @@ from .Schneider19 import (SchneiderProfiles, DarkMatter, TwoHalo, Stars,
                           SatelliteStars, Gas, ShockedGas,
                           CollisionlessMatter, DarkMatterOnly,
                           DarkMatterBaryon)
+from . import Arico20
