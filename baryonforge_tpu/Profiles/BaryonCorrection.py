@@ -184,6 +184,43 @@ class BaryonificationClass:
         return self
 
     # ------------------------------------------------------------------
+    def save_table(self, path):
+        """Checkpoint the displacement table to ``path`` (.npz).
+
+        The reference achieves persistence by keeping tables pickleable
+        (destory_Pk, BaryonCorrection.py:316-328); here the table is plain
+        arrays, saved/restored explicitly (SURVEY.md §5 checkpoint/resume).
+        """
+        extras = {f"p_{k}": getattr(self, f"raw_input_{k}_range")
+                  for k in self.p_keys}
+        np.savez(path, d=self.raw_input_d,
+                 z_range=self.raw_input_z_range,
+                 M_range=self.raw_input_M_range,
+                 r_range=self.raw_input_r_range,
+                 p_keys=np.array(self.p_keys, dtype=object),
+                 Rdelta_sampling=np.array(self.Rdelta_sampling),
+                 allow_pickle=True, **extras)
+
+    def load_table(self, path):
+        """Restore a table saved with :meth:`save_table`."""
+        f = np.load(path, allow_pickle=True)
+        self.raw_input_d = f["d"]
+        self.raw_input_z_range = f["z_range"]
+        self.raw_input_M_range = f["M_range"]
+        self.raw_input_r_range = f["r_range"]
+        self.p_keys = list(f["p_keys"])
+        self.Rdelta_sampling = bool(f["Rdelta_sampling"])
+        axes = [jnp.asarray(self.raw_input_z_range),
+                jnp.asarray(self.raw_input_M_range),
+                jnp.asarray(self.raw_input_r_range)]
+        for k in self.p_keys:
+            v = f[f"p_{k}"]
+            setattr(self, f"raw_input_{k}_range", v)
+            axes.append(jnp.asarray(v))
+        self._axes = tuple(axes)
+        self._table = jnp.asarray(self.raw_input_d)
+        return self
+
     def with_dtype(self, dtype):
         """Shallow copy with the lookup table cast to ``dtype`` — the
         runner hot path reads the table in f32 on TPU (the table itself is

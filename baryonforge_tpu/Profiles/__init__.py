@@ -12,3 +12,4 @@ from .Schneider19 import (SchneiderProfiles, DarkMatter, TwoHalo, Stars,
                           CollisionlessMatter, DarkMatterOnly,
                           DarkMatterBaryon)
 from . import Arico20
+from . import Mead20

@@ -6,21 +6,55 @@ tabulated displacement (examples/04) => ~1,350 halos/s midpoint.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "halos/s", "vs_baseline": N/1350}
 
-Runs on whatever accelerator jax exposes (TPU under axon; CPU otherwise).
-The displacement-table build runs on the CPU backend (complex128 FFTs are
-unsupported on TPU); the per-halo hot path runs on the accelerator.
+The displacement table is built in a clean CPU subprocess (the axon TPU
+plugin reroutes every XLA compile to a slow remote compiler; a plain
+JAX_PLATFORMS=cpu process compiles the table kernels locally in seconds)
+and checkpointed to .npz; the hot per-halo phase runs on the accelerator.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+_TABLE_BUILDER = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import baryonforge_tpu
+from baryonforge_tpu import Profiles
+from baryonforge_tpu import cosmo as bcosmo
+from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification2D
+
+h = 0.7
+cosmo = bcosmo.Cosmology(Omega_m=0.30, Omega_b=0.045, h=h, sigma8=0.8,
+                         n_s=0.96, w0=-1.0)
+bpar = dict(theta_ej=4, theta_co=0.1, M_c=1e14 / h, mu_beta=0.4,
+            eta=0.3, eta_delta=0.3, tau=-1.5, tau_delta=0,
+            A=0.09 / 2, M1=2.5e11 / h, epsilon_h=0.015,
+            a=0.3, n=2, epsilon=4, p=0.3, q=0.707, gamma=2, delta=7)
+DMO = Profiles.DarkMatterOnly(**bpar, proj_cutoff=100)
+DMB = Profiles.DarkMatterBaryon(**bpar, proj_cutoff=100)
+model = Baryonification2D(DMO, DMB, cosmo, epsilon_max=20)
+model.setup_interpolator(z_min=0.7, z_max=1.1, N_samples_z=8,
+                         M_min=5e12, M_max=2e15, N_samples_Mass=20,
+                         R_min=1e-3, R_max=60, N_samples_R=64,
+                         verbose=False)
+model.save_table(os.environ["BFG_TABLE_PATH"])
+"""
+
 
 def main():
     import jax
+    import jax.numpy as jnp
     import baryonforge_tpu  # noqa: F401  (enables x64)
     from baryonforge_tpu import Profiles, Runners, utils
     from baryonforge_tpu import cosmo as bcosmo
@@ -49,21 +83,22 @@ def main():
     shell = utils.LightconeShell(map=rng.exponential(1.0, npix),
                                  cosmo=cosmo_dict)
 
-    # ---- displacement table (built on CPU backend, f64) -----------------
-    cpu = jax.devices("cpu")[0]
+    # ---- displacement table: clean-CPU subprocess + checkpoint ----------
     t0 = time.time()
-    with jax.default_device(cpu):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "table.npz")
+        env = dict(os.environ, BFG_TABLE_PATH=path)
+        subprocess.run([sys.executable, "-c", _TABLE_BUILDER], env=env,
+                       check=True, cwd=os.path.dirname(
+                           os.path.abspath(__file__)))
         DMO = Profiles.DarkMatterOnly(**bpar, proj_cutoff=100)
         DMB = Profiles.DarkMatterBaryon(**bpar, proj_cutoff=100)
         model = Baryonification2D(DMO, DMB, cosmo, epsilon_max=20)
-        model.setup_interpolator(z_min=0.7, z_max=1.1, N_samples_z=4,
-                                 M_min=5e12, M_max=2e15, N_samples_Mass=20,
-                                 R_min=1e-3, R_max=60, N_samples_R=64,
-                                 verbose=False)
+        model.load_table(path)
     t_table = time.time() - t0
-    print(f"# displacement table build: {t_table:.1f} s", file=sys.stderr)
+    print(f"# displacement table build (CPU subprocess): {t_table:.1f} s",
+          file=sys.stderr)
 
-    import jax.numpy as jnp
     runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
                                     halo_batch=4096, verbose=False,
                                     n_size_buckets=6,
