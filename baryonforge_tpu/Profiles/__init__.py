@@ -13,3 +13,4 @@ from .Schneider19 import (SchneiderProfiles, DarkMatter, TwoHalo, Stars,
                           DarkMatterBaryon)
 from . import Arico20
 from . import Mead20
+from . import Schneider25
