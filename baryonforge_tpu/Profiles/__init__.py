@@ -14,3 +14,8 @@ from .Schneider19 import (SchneiderProfiles, DarkMatter, TwoHalo, Stars,
 from . import Arico20
 from . import Mead20
 from . import Schneider25
+from . import Battaglia
+from . import Thermodynamic
+from . import BaryonCorrection
+from .BaryonCorrection import (BaryonificationClass, Baryonification3D,
+                               Baryonification2D)
