@@ -247,18 +247,31 @@ class BaryonifyShell(DefaultRunner):
         return make_body
 
     @staticmethod
-    def _phase_b(NSIDE, npix, rdt, pix_offsets, orig):
+    def _phase_b(NSIDE, npix, rdt, vec_base, pix_offsets, orig):
         """Global regrid: one fused pass over the map. In float64 (default)
         the zero-displacement case is an exact identity; float32
         (regrid_dtype option) carries ~1e-4 weight noise — within the 1e-3
-        map-parity budget — and runs natively on TPU."""
-        p = jnp.arange(npix)
-        vec = hpx.pix2vec(NSIDE, p, rdt) + pix_offsets.astype(rdt)
+        map-parity budget — and runs natively on TPU.
+
+        ``vec_base`` (the pixel-center unit vectors) is an ARGUMENT, not
+        recomputed from iota inside the jit: a constant-only 12M-element
+        chain triggers pathological XLA constant folding at compile time
+        (measured 1600s on the remote compiler).
+        """
+        vec = vec_base + pix_offsets.astype(rdt)
         theta, phi = hpx.vec2ang(vec)
         cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
         new_map = jnp.zeros(npix, dtype=jnp.float64)
         contrib = cw.astype(jnp.float64) * orig[:, None]      # (npix, 4)
         return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
+
+    def _pixel_vectors(self, NSIDE, npix, rdt):
+        """Eagerly computed (and cached) pixel-center unit vectors."""
+        key = ("pixvec", NSIDE, str(rdt))
+        if key not in self._compiled:
+            p = jnp.arange(npix, dtype=jnp.int32)
+            self._compiled[key] = hpx.pix2vec(NSIDE, p, rdt)
+        return self._compiled[key]
 
     def process(self):
         from ..cosmo.core import cosmology_from_dict
@@ -284,8 +297,10 @@ class BaryonifyShell(DefaultRunner):
         if bkey not in self._compiled:
             self._compiled[bkey] = jax.jit(
                 partial(self._phase_b, NSIDE, npix, rdt))
+        vec_base = self._pixel_vectors(NSIDE, npix, rdt)
         new_map = np.asarray(
-            self._compiled[bkey](pix_offsets, jnp.asarray(orig_map)))
+            self._compiled[bkey](vec_base, pix_offsets,
+                                 jnp.asarray(orig_map)))
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
@@ -320,13 +335,15 @@ class BaryonifyShell(DefaultRunner):
                         + [jnp.asarray(b) for b in batched[6:]])
         dt = self.dtype
 
-        def fn(batches, orig):
+        vec_base = self._pixel_vectors(NSIDE, npix, self.regrid_dtype)
+
+        def fn(batches, vec_base, orig):
             acc = jnp.zeros((npix + 1, 3), dtype=dt)
             acc, _ = jax.lax.scan(body, acc, batches)
             return self._phase_b(NSIDE, npix, self.regrid_dtype,
-                                 acc[:npix], orig)
+                                 vec_base, acc[:npix], orig)
 
-        return fn, (batches, jnp.asarray(orig_map))
+        return fn, (batches, vec_base, jnp.asarray(orig_map))
 
 
 class PaintProfilesShell(DefaultRunner):

@@ -1,5 +1,8 @@
 """Native HEALPix (RING scheme) geometry in JAX.
 
+Integer math is int32 throughout (valid for NSIDE <= 8192): int64 is
+software-emulated on TPU and was a measured hot-path cost.
+
 The reference delegates all sphere pixelization to healpy (C++):
 ``ang2vec/pix2vec/query_disc/get_interp_weights`` (Runners/HealpixRunner.py).
 healpy is CPU-only and shape-dynamic, so we re-implement the RING-scheme
@@ -86,13 +89,13 @@ def pix2ang(nside, p, dtype=jnp.float64):
     """Ring-scheme pixel center -> (theta, phi). Vectorized over p.
     Float math in ``dtype``; note f32 pixel centers carry ~1e-7 rad noise
     (fine for gather/paint; use f64 for exact regrid weights)."""
-    p = jnp.asarray(p, dtype=jnp.int64)
+    p = jnp.asarray(p, dtype=jnp.int32)
     N = nside
     ncap = 2 * N * (N - 1)
     npx = npix(nside)
 
     # north cap
-    i_n = ((1 + jnp.sqrt(1.0 + 2.0 * p)) / 2.0).astype(jnp.int64)
+    i_n = ((1 + jnp.sqrt(1.0 + 2.0 * p)) / 2.0).astype(jnp.int32)
     # guard rounding: ensure 2 i (i-1) <= p < 2 i (i+1)
     i_n = jnp.where(2 * i_n * (i_n - 1) > p, i_n - 1, i_n)
     i_n = jnp.where(2 * i_n * (i_n + 1) <= p, i_n + 1, i_n)
@@ -110,7 +113,7 @@ def pix2ang(nside, p, dtype=jnp.float64):
 
     # south cap
     ps = npx - 1 - p
-    i_ss = ((1 + jnp.sqrt(1.0 + 2.0 * ps)) / 2.0).astype(jnp.int64)
+    i_ss = ((1 + jnp.sqrt(1.0 + 2.0 * ps)) / 2.0).astype(jnp.int32)
     i_ss = jnp.where(2 * i_ss * (i_ss - 1) > ps, i_ss - 1, i_ss)
     i_ss = jnp.where(2 * i_ss * (i_ss + 1) <= ps, i_ss + 1, i_ss)
     j_ss = ps - 2 * i_ss * (i_ss - 1)
@@ -148,8 +151,8 @@ def ang2pix(nside, theta, phi):
     # --- equatorial region
     temp1 = N * (0.5 + tt)
     temp2 = N * z * 0.75
-    jp = jnp.floor(temp1 - temp2).astype(jnp.int64)
-    jm = jnp.floor(temp1 + temp2).astype(jnp.int64)
+    jp = jnp.floor(temp1 - temp2).astype(jnp.int32)
+    jm = jnp.floor(temp1 + temp2).astype(jnp.int32)
     ir = N + 1 + jp - jm                # ring counted from z = 2/3, 1..2N+1
     kshift = 1 - (ir & 1)
     ip = (jp + jm - N + kshift + 1) // 2
@@ -159,10 +162,10 @@ def ang2pix(nside, theta, phi):
     # --- polar caps
     tp = tt - jnp.floor(tt)
     tmp = N * jnp.sqrt(3.0 * (1.0 - za))
-    jp_c = jnp.floor(tp * tmp).astype(jnp.int64)
-    jm_c = jnp.floor((1.0 - tp) * tmp).astype(jnp.int64)
+    jp_c = jnp.floor(tp * tmp).astype(jnp.int32)
+    jm_c = jnp.floor((1.0 - tp) * tmp).astype(jnp.int32)
     ir_c = jp_c + jm_c + 1
-    ip_c = jnp.floor(tt * ir_c).astype(jnp.int64)
+    ip_c = jnp.floor(tt * ir_c).astype(jnp.int32)
     ip_c = jnp.mod(ip_c, 4 * ir_c)
     pix_n = 2 * ir_c * (ir_c - 1) + ip_c
     pix_s = npix(nside) - 2 * ir_c * (ir_c + 1) + ip_c
@@ -200,7 +203,7 @@ def _ring_phi_neighbors(nside, ring, phi, dtype=jnp.float64):
     sp, nr, z, shifted = ring_info(nside, ring, dtype)
     dphi = 2.0 * jnp.pi / nr
     tmp = phi / dphi - 0.5 * shifted
-    i1 = jnp.floor(tmp).astype(jnp.int64)
+    i1 = jnp.floor(tmp).astype(jnp.int32)
     w = (phi - (i1 + 0.5 * shifted) * dphi) / dphi
     i2 = i1 + 1
     i1 = jnp.mod(i1, nr)
@@ -335,14 +338,14 @@ def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi,
     radius = jnp.asarray(radius, dtype=dtype)
     z_top = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
     ring_top = jnp.clip(ring_above(N, z_top), 0, 4 * N - 1)
-    rings = ring_top + 1 + jnp.arange(K_ring)          # candidate rings
+    rings = ring_top + 1 + jnp.arange(K_ring, dtype=jnp.int32)          # candidate rings
     ring_ok = (rings >= 1) & (rings <= 4 * N - 1)
     rings_c = jnp.clip(rings, 1, 4 * N - 1)
 
     sp, nr, zr, shifted = ring_info(N, rings_c, dtype)
     dphi = 2.0 * jnp.pi / nr
-    jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int64)
-    dp = jnp.arange(K_phi) - (K_phi - 1) // 2   # [-(K-1)//2, K//2] inclusive
+    jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int32)
+    dp = jnp.arange(K_phi, dtype=jnp.int32) - (K_phi - 1) // 2   # [-(K-1)//2, K//2] inclusive
     jj = jc[:, None] + dp[None, :]                     # (K_ring, K_phi)
     # avoid duplicate pixels when the window wraps a small ring
     no_dup = (dp[None, :] >= -((nr[:, None] - 1) // 2)) \

@@ -54,6 +54,14 @@ model.save_table(os.environ["BFG_TABLE_PATH"])
 
 def main():
     import jax
+    # persistent compilation cache (kept in-repo so driver rounds reuse it)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import baryonforge_tpu  # noqa: F401  (enables x64)
     from baryonforge_tpu import Profiles, Runners, utils
@@ -101,7 +109,7 @@ def main():
 
     runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
                                     halo_batch=4096, verbose=False,
-                                    n_size_buckets=6,
+                                    n_size_buckets=4,
                                     regrid_dtype=jnp.float32)
 
     # warmup (jit compile)
