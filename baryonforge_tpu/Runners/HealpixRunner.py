@@ -261,8 +261,11 @@ class BaryonifyShell(DefaultRunner):
         vec = vec_base + pix_offsets.astype(rdt)
         theta, phi = hpx.vec2ang(vec)
         cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
-        new_map = jnp.zeros(npix, dtype=jnp.float64)
-        contrib = cw.astype(jnp.float64) * orig[:, None]      # (npix, 4)
+        # accumulate in rdt: with f32 the summed-map error is ~1e-7
+        # relative — far inside the reference's np.isclose conservation
+        # tolerance (rtol 1e-5, HealpixRunner.py:370)
+        new_map = jnp.zeros(npix, dtype=rdt)
+        contrib = cw * orig.astype(rdt)[:, None]              # (npix, 4)
         return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
 
     def _pixel_vectors(self, NSIDE, npix, rdt):
@@ -302,11 +305,12 @@ class BaryonifyShell(DefaultRunner):
             self._compiled[bkey](vec_base, pix_offsets,
                                  jnp.asarray(orig_map)))
 
-        new_sum, old_sum = new_map.sum(), orig_map.sum()
+        new_sum = float(np.asarray(new_map, dtype=np.float64).sum())
+        old_sum = orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
             "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
             "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
-        return new_map
+        return np.asarray(new_map, dtype=np.float64)
 
     def build_step(self):
         """Return (fn, example_args): the full baryonification step as one

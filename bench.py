@@ -109,7 +109,7 @@ def main():
 
     runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
                                     halo_batch=4096, verbose=False,
-                                    n_size_buckets=4,
+                                    n_size_buckets=8,
                                     regrid_dtype=jnp.float32)
 
     # warmup (jit compile)
