@@ -32,7 +32,12 @@ from . import ops
 from . import utils
 from . import Profiles
 from . import Runners
+from . import parallel
 from .utils.io import (HaloLightConeCatalog, HaloNDCatalog, LightconeShell,
                        GriddedMap, ParticleSnapshot)
+# star-exported public surface, mirroring the reference package root
+# (BaryonForge/__init__.py:1-5)
+from .Profiles import *       # noqa: F401,F403
+from .Runners import *        # noqa: F401,F403
 
 __version__ = "0.1.0"

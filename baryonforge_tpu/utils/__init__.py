@@ -9,3 +9,7 @@ from .Pixel import ConvolvedProfile, GridPixelApprox, HealPixel, NoPix
 from .Cache import SimpleArrayCache, CachedProfile, CachedHODProfile
 from .misc import (safe_Pchip_minimize, destory_Pk, destroy_Pk,
                    combine_fftpars, log_time)
+from . import debug
+from .Parallelize import SimpleParallel, SplitJoinParallel
+from . import halomodel
+from .halomodel import FlexibleHMCalculator
