@@ -5,17 +5,19 @@ loop (HealpixRunner.py:315, ~1200-1500 halos/s on one core) is re-designed
 as a fixed-shape batched pipeline:
 
   phase A (per halo, vmapped + scanned in batches, sharded over devices):
-     static-shape disc query (ops.healpix.disc_pixels) -> pixel unit
-     vectors -> displacement table readout -> unit-vector deltas ->
-     masked scatter-add into a per-pixel offset accumulator
+     static-shape disc query (ops.healpix.disc_candidates) -> displacement
+     table readout -> TANGENT-ANGLE deltas (d theta, tangent-phi) ->
+     masked scatter-add into a per-pixel (npix, 2) accumulator
   phase B (global regrid, one fused kernel over all pixels):
-     pix2vec + offsets -> vec2ang -> 4-neighbour bilinear weights ->
+     theta/phi + accumulated deltas -> 4-neighbour bilinear weights ->
      weighted scatter-add of the original map (the numba kernel
      regrid_pixels_hpix, HealpixRunner.py:17-74, becomes one .at[].add)
 
-Numerical note: the unit-vector delta (new_vec - vec) is computed with the
-cancellation-free form ((1-s) vec + o)/s, s = |vec + o|, so the hot path is
-accurate even in float32 (displacements can be ~1e-6 rad vs pixel ~5e-4).
+Numerical note: accumulating angle-space deltas is first-order identical to
+the reference's normalize(vec + offset) - vec (offsets are <~1e-3 rad;
+differences are second order) and is inherently cancellation-free, so the
+hot path runs in float32. Angle accumulation also cuts the scatter payload
+from 3 to 2 components — scatter throughput is the TPU bottleneck.
 
 The mass-conservation tripwire (sum(new) == sum(old),
 HealpixRunner.py:367-370) is kept as a host-side check.
@@ -197,37 +199,55 @@ class BaryonifyShell(DefaultRunner):
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
-                pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                            K_ring, K_phi, dt)
+                # per-pixel tangent-angle displacement, accumulated as
+                # (d theta, tangent-phi) 2-vectors: one fewer scatter
+                # component than unit-vector deltas, and phase B avoids
+                # vec2ang. First-order identical to the reference's
+                # normalize(vec + o) - vec (offsets are <~1e-3 rad; the
+                # difference is second order).
+                (pix, cos_t, sin_t, dphi_pix, cosd,
+                 mask) = hpx.disc_candidates(NSIDE, theta_h, phi_h, rad_h,
+                                             K_ring, K_phi, dt)
                 # fallback: fewer than 4 disc pixels -> 4 interp neighbours
                 # (reference HealpixRunner.py:332-334)
                 count = jnp.sum(mask)
                 pix4, _ = hpx.get_interp_weights(NSIDE, theta_h, phi_h, dt)
+                t4, p4 = hpx.pix2ang(NSIDE, pix4, dt)
                 use4 = count < 4
                 pix = jnp.concatenate([pix, pix4])
                 mask = jnp.concatenate([mask & ~use4,
                                         jnp.broadcast_to(use4, (4,))])
+                cos_t = jnp.concatenate([cos_t, jnp.cos(t4)])
+                sin_t = jnp.concatenate([sin_t, jnp.sin(t4)])
+                dphi_pix = jnp.concatenate([dphi_pix, p4 - phi_h]) \
+                    .astype(dt)
+                ct0 = jnp.cos(theta_h).astype(dt)
+                st0 = jnp.sin(theta_h).astype(dt)
+                cosd = jnp.concatenate(
+                    [cosd, (cos_t[-4:] * ct0
+                            + sin_t[-4:] * st0
+                            * jnp.cos(dphi_pix[-4:]))]).astype(dt)
 
-                vec = hpx.pix2vec(NSIDE, pix, dt)            # (K+4, 3)
-                vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
-                                   jnp.sin(theta_h) * jnp.sin(phi_h),
-                                   jnp.cos(theta_h)]).astype(dt)
-                diff = (vec - vec_h[None, :]) * D_h          # phys. Mpc
-                r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
-                r_safe = jnp.where(r_sep > 0, r_sep, 1.0)
+                # chord distance on the unit sphere -> physical separation
+                chord = jnp.sqrt(jnp.clip(2.0 - 2.0 * cosd, 0.0, None))
+                r_sep = chord * D_h.astype(dt)
 
                 kw = {k: o for k, o in zip(keys, o_h)}
                 d = model.displacement(r_sep / a_h, M_h, a_h, **kw) * a_h
                 d = jnp.reshape(d, r_sep.shape).astype(dt)
-                o = (d[:, None] * diff / (r_safe[:, None] * D_h)).astype(dt)
-                o = jnp.where(jnp.isfinite(o), o, 0.0)  # unit-vector units
+                d = jnp.where(jnp.isfinite(d), d, 0.0)
 
-                # stable delta = ((1 - s) vec + o)/s, s = |vec + o|
-                s = jnp.sqrt(jnp.sum((vec + o) ** 2, axis=-1, keepdims=True))
-                one_m_s = -(2.0 * jnp.sum(vec * o, axis=-1, keepdims=True)
-                            + jnp.sum(o * o, axis=-1, keepdims=True)) \
-                    / (1.0 + s)
-                delta = (one_m_s * vec + o) / s
+                # tangent components of o = (d/D) (vec - vec_h)/chord at
+                # the pixel:  (vec - vec_h).e_theta = ct0 sin_t
+                #                                     - st0 cos_t cos(dphi)
+                #             (vec - vec_h).e_phi   = st0 sin(dphi)
+                chord_safe = jnp.where(chord > 0, chord, 1.0)
+                amp = d / (D_h.astype(dt) * chord_safe)
+                t_th = amp * (ct0 * sin_t - st0 * cos_t
+                              * jnp.cos(dphi_pix))
+                t_ph = amp * (st0 * jnp.sin(dphi_pix))
+                delta = jnp.stack([t_th, t_ph], axis=1)
+                delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
                 m = (mask & valid_h)[:, None]
                 delta = jnp.where(m, delta, 0.0)
@@ -241,25 +261,32 @@ class BaryonifyShell(DefaultRunner):
                                                 a_b, D_b, valid_b,
                                                 *extras_b)
                 return acc.at[pix.reshape(-1)].add(
-                    delta.reshape(-1, 3)), None
+                    delta.reshape(-1, 2)), None
             return body
 
         return make_body
 
     @staticmethod
-    def _phase_b(NSIDE, npix, rdt, vec_base, pix_offsets, orig):
+    def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig):
         """Global regrid: one fused pass over the map. In float64 (default)
         the zero-displacement case is an exact identity; float32
         (regrid_dtype option) carries ~1e-4 weight noise — within the 1e-3
         map-parity budget — and runs natively on TPU.
 
-        ``vec_base`` (the pixel-center unit vectors) is an ARGUMENT, not
-        recomputed from iota inside the jit: a constant-only 12M-element
-        chain triggers pathological XLA constant folding at compile time
-        (measured 1600s on the remote compiler).
+        ``ang_base`` (pixel-center (theta, phi), shape (npix, 2)) is an
+        ARGUMENT, not recomputed from iota inside the jit: a constant-only
+        12M-element chain triggers pathological XLA constant folding at
+        compile time (measured 1600s on the remote compiler).
         """
-        vec = vec_base + pix_offsets.astype(rdt)
-        theta, phi = hpx.vec2ang(vec)
+        theta_p = ang_base[:, 0]
+        phi_p = ang_base[:, 1]
+        sin_t = jnp.sin(theta_p)
+        sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
+        theta = theta_p + pix_offsets[:, 0].astype(rdt)
+        phi = phi_p + pix_offsets[:, 1].astype(rdt) / sin_safe
+        # reflect pole overshoots back into [0, pi]
+        theta = jnp.abs(theta)
+        theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
         cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
         # accumulate in rdt: with f32 the summed-map error is ~1e-7
         # relative — far inside the reference's np.isclose conservation
@@ -268,12 +295,13 @@ class BaryonifyShell(DefaultRunner):
         contrib = cw * orig.astype(rdt)[:, None]              # (npix, 4)
         return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
 
-    def _pixel_vectors(self, NSIDE, npix, rdt):
-        """Eagerly computed (and cached) pixel-center unit vectors."""
-        key = ("pixvec", NSIDE, str(rdt))
+    def _pixel_angles(self, NSIDE, npix, rdt):
+        """Eagerly computed (and cached) pixel-center (theta, phi)."""
+        key = ("pixang", NSIDE, str(rdt))
         if key not in self._compiled:
             p = jnp.arange(npix, dtype=jnp.int32)
-            self._compiled[key] = hpx.pix2vec(NSIDE, p, rdt)
+            theta, phi = hpx.pix2ang(NSIDE, p, rdt)
+            self._compiled[key] = jnp.stack([theta, phi], axis=1)
         return self._compiled[key]
 
     def process(self):
@@ -293,16 +321,16 @@ class BaryonifyShell(DefaultRunner):
 
         make_body = self._make_body_factory(NSIDE, npix, keys)
         pix_offsets = self._bucketed_accumulate(
-            make_body, hd, extras, (npix + 1, 3), self.dtype, NSIDE)[:npix]
+            make_body, hd, extras, (npix + 1, 2), self.dtype, NSIDE)[:npix]
 
         rdt = self.regrid_dtype
         bkey = ("phase_b", NSIDE, npix, str(rdt))
         if bkey not in self._compiled:
             self._compiled[bkey] = jax.jit(
                 partial(self._phase_b, NSIDE, npix, rdt))
-        vec_base = self._pixel_vectors(NSIDE, npix, rdt)
+        ang_base = self._pixel_angles(NSIDE, npix, rdt)
         new_map = np.asarray(
-            self._compiled[bkey](vec_base, pix_offsets,
+            self._compiled[bkey](ang_base, pix_offsets,
                                  jnp.asarray(orig_map)))
 
         new_sum = float(np.asarray(new_map, dtype=np.float64).sum())
@@ -339,15 +367,15 @@ class BaryonifyShell(DefaultRunner):
                         + [jnp.asarray(b) for b in batched[6:]])
         dt = self.dtype
 
-        vec_base = self._pixel_vectors(NSIDE, npix, self.regrid_dtype)
+        ang_base = self._pixel_angles(NSIDE, npix, self.regrid_dtype)
 
-        def fn(batches, vec_base, orig):
-            acc = jnp.zeros((npix + 1, 3), dtype=dt)
+        def fn(batches, ang_base, orig):
+            acc = jnp.zeros((npix + 1, 2), dtype=dt)
             acc, _ = jax.lax.scan(body, acc, batches)
             return self._phase_b(NSIDE, npix, self.regrid_dtype,
-                                 vec_base, acc[:npix], orig)
+                                 ang_base, acc[:npix], orig)
 
-        return fn, (batches, vec_base, jnp.asarray(orig_map))
+        return fn, (batches, ang_base, jnp.asarray(orig_map))
 
 
 class PaintProfilesShell(DefaultRunner):

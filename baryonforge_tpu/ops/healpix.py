@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 __all__ = ["npix", "nside2pixarea", "pix2ang", "pix2vec", "ang2pix",
            "ang2vec", "vec2ang", "get_interp_weights", "ring_info",
-           "ring_above", "disc_pad_sizes", "disc_pixels",
+           "ring_above", "disc_pad_sizes", "disc_pixels", "disc_candidates",
            "interp_values"]
 
 
@@ -324,6 +324,52 @@ def disc_pad_sizes(nside, radius_max):
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def disc_candidates(nside, theta0, phi0, radius, K_ring, K_phi,
+                    dtype=jnp.float64):
+    """Padded disc query returning pixel ids AND their geometry.
+
+    Returns (pix, cos_t, sin_t, dphi_pix, cosd, mask), all (K_ring*K_phi,):
+      cos_t/sin_t  : pixel-center cos/sin colatitude
+      dphi_pix     : pixel phi minus phi0
+      cosd         : cosine of the angular distance to (theta0, phi0)
+      mask         : true disc members
+    Scalar halo inputs only (vmap over halos).
+    """
+    N = nside
+    theta0 = jnp.asarray(theta0, dtype=dtype)
+    phi0 = jnp.asarray(phi0, dtype=dtype)
+    radius = jnp.asarray(radius, dtype=dtype)
+    z_top = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
+    ring_top = jnp.clip(ring_above(N, z_top), 0, 4 * N - 1)
+    rings = ring_top + 1 + jnp.arange(K_ring, dtype=jnp.int32)
+    ring_ok = (rings >= 1) & (rings <= 4 * N - 1)
+    rings_c = jnp.clip(rings, 1, 4 * N - 1)
+
+    sp, nr, zr, shifted = ring_info(N, rings_c, dtype)
+    dphi = 2.0 * jnp.pi / nr
+    jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int32)
+    dp = jnp.arange(K_phi, dtype=jnp.int32) - (K_phi - 1) // 2
+    jj = jc[:, None] + dp[None, :]                     # (K_ring, K_phi)
+    # avoid duplicate pixels when the window wraps a small ring
+    no_dup = (dp[None, :] >= -((nr[:, None] - 1) // 2)) \
+        & (dp[None, :] <= nr[:, None] // 2)
+    jw = jnp.mod(jj, nr[:, None])
+    pix = sp[:, None] + jw                             # (K_ring, K_phi)
+
+    cos_t = jnp.clip(zr, -1.0, 1.0)[:, None] + jnp.zeros_like(dphi[:, None]
+                                                              * dp[None, :])
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t ** 2, 0.0, 1.0))
+    phi_pix = (jw + 0.5 * shifted[:, None]) * dphi[:, None]
+    dphi_pix = phi_pix - phi0
+    cosd = (cos_t * jnp.cos(theta0)
+            + sin_t * jnp.sin(theta0) * jnp.cos(dphi_pix))
+    member = cosd >= jnp.cos(radius)
+    mask = member & no_dup & ring_ok[:, None]
+    return (pix.reshape(-1), cos_t.reshape(-1), sin_t.reshape(-1),
+            dphi_pix.reshape(-1), cosd.reshape(-1), mask.reshape(-1))
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi,
                 dtype=jnp.float64):
     """All ring-scheme pixels whose centers lie within ``radius`` of
@@ -332,33 +378,6 @@ def disc_pixels(nside, theta0, phi0, radius, K_ring, K_phi,
     Returns (pix, mask): (K_ring*K_phi,) int pixel ids (clipped valid) and
     a boolean mask of true members. Scalar inputs only (vmap over halos).
     """
-    N = nside
-    theta0 = jnp.asarray(theta0, dtype=dtype)
-    phi0 = jnp.asarray(phi0, dtype=dtype)
-    radius = jnp.asarray(radius, dtype=dtype)
-    z_top = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
-    ring_top = jnp.clip(ring_above(N, z_top), 0, 4 * N - 1)
-    rings = ring_top + 1 + jnp.arange(K_ring, dtype=jnp.int32)          # candidate rings
-    ring_ok = (rings >= 1) & (rings <= 4 * N - 1)
-    rings_c = jnp.clip(rings, 1, 4 * N - 1)
-
-    sp, nr, zr, shifted = ring_info(N, rings_c, dtype)
-    dphi = 2.0 * jnp.pi / nr
-    jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int32)
-    dp = jnp.arange(K_phi, dtype=jnp.int32) - (K_phi - 1) // 2   # [-(K-1)//2, K//2] inclusive
-    jj = jc[:, None] + dp[None, :]                     # (K_ring, K_phi)
-    # avoid duplicate pixels when the window wraps a small ring
-    no_dup = (dp[None, :] >= -((nr[:, None] - 1) // 2)) \
-        & (dp[None, :] <= nr[:, None] // 2)
-    jw = jnp.mod(jj, nr[:, None])
-    pix = sp[:, None] + jw                             # (K_ring, K_phi)
-
-    # membership by true angular distance
-    theta_r = jnp.arccos(jnp.clip(zr, -1.0, 1.0))
-    phi_pix = (jw + 0.5 * shifted[:, None]) * dphi[:, None]
-    cosd = (jnp.cos(theta_r)[:, None] * jnp.cos(theta0)
-            + jnp.sin(theta_r)[:, None] * jnp.sin(theta0)
-            * jnp.cos(phi_pix - phi0))
-    member = cosd >= jnp.cos(radius)
-    mask = member & no_dup & ring_ok[:, None]
-    return pix.reshape(-1), mask.reshape(-1)
+    pix, _, _, _, _, mask = disc_candidates(nside, theta0, phi0, radius,
+                                            K_ring, K_phi, dtype)
+    return pix, mask
