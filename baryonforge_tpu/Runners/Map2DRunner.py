@@ -269,7 +269,7 @@ class BaryonifyGrid(DefaultRunnerGrid):
                 flat, offs = jax.vmap(one_halo)(M_b, cen_b, doff_b, valid_b,
                                                 *o_rest)
                 return acc.at[flat.reshape(-1)].add(
-                    offs.reshape(-1, ndim)), None
+                    offs.reshape(-1, ndim).astype(acc.dtype)), None
             return body
 
         per_halo = [M, cen.astype(float), d_off] + extras
