@@ -189,12 +189,38 @@ class BaryonifyShell(DefaultRunner):
     Baryonification2D/3D table readout qualifies).
     """
 
-    def _make_body_factory(self, NSIDE, npix, keys):
-        """Closure factory for the phase-A scan body (per disc-pad size)."""
+    def _use_curves(self):
+        """True when the model supports the fast per-halo-curve readout
+        (precompute the (z, M) interpolation once per halo; per-pixel work
+        becomes a direct log-uniform 1D lerp)."""
+        return (hasattr(self.model, "halo_curves")
+                and not getattr(self.model, "p_keys", []))
+
+    def _halo_curve_arrays(self, hd):
+        """Host-side per-halo curve data: (curves, Rcom, rscale) arrays and
+        (ln_r0, dlnr) scalars."""
+        model = self.model
+        if self.dtype == jnp.float32 and hasattr(model, "with_dtype"):
+            model = model.with_dtype(self.dtype)
+        curves, ln_r0, dlnr = model.halo_curves(hd["M"], hd["a"])
+        Rcom = hd["R"] / hd["a"]
+        rscale = (1.0 / Rcom if getattr(model, "Rdelta_sampling", False)
+                  else np.ones_like(Rcom))
+        return (np.asarray(curves), Rcom, rscale,
+                float(ln_r0), float(dlnr))
+
+    def _make_body_factory(self, NSIDE, npix, keys, curve_meta=None):
+        """Closure factory for the phase-A scan body (per disc-pad size).
+
+        ``curve_meta = (ln_r0, dlnr)`` switches the displacement readout to
+        the per-halo-curve path; the batch then carries
+        (curve, Rcom, rscale) as trailing per-halo arrays.
+        """
         dt = self.dtype
         model = self.model
         if dt == jnp.float32 and hasattr(model, "with_dtype"):
             model = model.with_dtype(dt)   # f32 table readout on device
+        eps_max = self.epsilon_max
 
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
@@ -232,8 +258,20 @@ class BaryonifyShell(DefaultRunner):
                 chord = jnp.sqrt(jnp.clip(2.0 - 2.0 * cosd, 0.0, None))
                 r_sep = chord * D_h.astype(dt)
 
-                kw = {k: o for k, o in zip(keys, o_h)}
-                d = model.displacement(r_sep / a_h, M_h, a_h, **kw) * a_h
+                r_com = r_sep / a_h.astype(dt)
+                if curve_meta is not None:
+                    from ..Profiles.BaryonCorrection import \
+                        BaryonificationClass as _BC
+                    curve_h, Rcom_h, rscale_h = o_h[-3:]
+                    ln_r0, dlnr = curve_meta
+                    r_safe = jnp.where(r_com > 0, r_com, 1e-30)
+                    d = _BC.curve_lookup(curve_h.astype(dt), ln_r0, dlnr,
+                                         r_safe * rscale_h.astype(dt))
+                    d = jnp.where(r_com < eps_max * Rcom_h.astype(dt),
+                                  d, 0.0) * a_h.astype(dt)
+                else:
+                    kw = {k: o for k, o in zip(keys, o_h)}
+                    d = model.displacement(r_com, M_h, a_h, **kw) * a_h
                 d = jnp.reshape(d, r_sep.shape).astype(dt)
                 d = jnp.where(jnp.isfinite(d), d, 0.0)
 
@@ -319,7 +357,13 @@ class BaryonifyShell(DefaultRunner):
         cat = self.HaloLightConeCatalog.cat
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
 
-        make_body = self._make_body_factory(NSIDE, npix, keys)
+        curve_meta = None
+        if self._use_curves():
+            curves, Rcom, rscale, ln_r0, dlnr = self._halo_curve_arrays(hd)
+            extras = extras + [curves, Rcom, rscale]
+            curve_meta = (ln_r0, dlnr)
+
+        make_body = self._make_body_factory(NSIDE, npix, keys, curve_meta)
         pix_offsets = self._bucketed_accumulate(
             make_body, hd, extras, (npix + 1, 2), self.dtype, NSIDE)[:npix]
 

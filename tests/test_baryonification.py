@@ -108,3 +108,28 @@ def test_s19_displacement_2d():
     d = np.asarray(model.displacement(r, 1e14, 1 / 1.2))
     assert np.all(np.isfinite(d))
     assert np.any(d != 0)
+
+
+def test_halo_curves_match_displacement():
+    # the runner fast path (per-halo curve + 1D log-uniform lookup) must
+    # agree with the full table readout
+    import jax.numpy as jnp
+    from baryonforge_tpu.Profiles.BaryonCorrection import (
+        BaryonificationClass)
+    DMO = PowerLawProfile(norm=1.0e13)
+    DMB = PowerLawProfile(norm=0.8e13)
+    model = Baryonification3D(DMO, DMB, COSMO, epsilon_max=200)
+    model.setup_interpolator(z_min=0.1, z_max=0.5, N_samples_z=4,
+                             M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                             R_min=1e-2, R_max=10, N_samples_R=64,
+                             verbose=False)
+    rng = np.random.default_rng(3)
+    M = 10 ** rng.uniform(13.2, 14.8, 12)
+    a = 1.0 / (1.0 + rng.uniform(0.12, 0.45, 12))
+    r = np.geomspace(0.05, 5, 32)
+    curves, ln_r0, dlnr = model.halo_curves(jnp.array(M), jnp.array(a))
+    for i in range(12):
+        fast = np.asarray(BaryonificationClass.curve_lookup(
+            curves[i], ln_r0, dlnr, jnp.array(r)))
+        ref = np.asarray(model.displacement(r, M[i], a[i]))
+        np.testing.assert_allclose(fast, ref, rtol=1e-10, atol=1e-12)
