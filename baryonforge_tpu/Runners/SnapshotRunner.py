@@ -74,9 +74,15 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         keys = self._model_p_keys()
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
 
-        # host-side neighbour lists (C++ KDTree), padded per count bucket
-        neigh = self.tree.query_ball_point(np.mod(hpos, L), R_q)
-        counts = np.array([len(x) for x in neigh])
+        # host-side neighbour lists, padded per count bucket. Prefer the
+        # in-repo native C++ cell list (3D); scipy's cKDTree otherwise.
+        if not is2D:
+            from .. import native
+            padded, counts = native.cell_query(coords, L, hpos, R_q)
+            neigh = [padded[q][padded[q] >= 0] for q in range(len(R_q))]
+        else:
+            neigh = self.tree.query_ball_point(np.mod(hpos, L), R_q)
+            counts = np.array([len(x) for x in neigh])
 
         model = self.model
         dt = self.dtype
