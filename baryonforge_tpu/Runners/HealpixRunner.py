@@ -443,27 +443,43 @@ class PaintProfilesShell(DefaultRunner):
 
         dt = self.dtype
         model = self.model
+        if dt == jnp.float32 and hasattr(model, "with_dtype"):
+            model = model.with_dtype(dt)
         include_pix = self.include_pixel_size
+
+        # fast path: per-halo log-profile curves (TabulatedProfile) — the
+        # constant (z, M) axes are interpolated once per halo host-side
+        curve_meta = None
+        if hasattr(model, "halo_curves") and not keys:
+            curves, ln_r0, dlnr = model.halo_curves(hd["M"], hd["a"],
+                                                    kind="projected")
+            extras = extras + [np.asarray(curves)]
+            curve_meta = (float(ln_r0), float(dlnr))
 
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
-                pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
-                                            K_ring, K_phi, dt)
-                vec = hpx.pix2vec(NSIDE, pix, dt)
-                vec_h = jnp.stack([jnp.sin(theta_h) * jnp.cos(phi_h),
-                                   jnp.sin(theta_h) * jnp.sin(phi_h),
-                                   jnp.cos(theta_h)]).astype(dt)
-                diff = (vec - vec_h[None, :]) * D_h.astype(dt)
-                r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
+                (pix, cos_t, sin_t, dphi_pix, cosd,
+                 mask) = hpx.disc_candidates(NSIDE, theta_h, phi_h, rad_h,
+                                             K_ring, K_phi, dt)
+                chord = jnp.sqrt(jnp.clip(2.0 - 2.0 * cosd, 0.0, None))
+                r_sep = chord * D_h.astype(dt)
+                r_com = r_sep / a_h.astype(dt)
 
-                kw = {k: o for k, o in zip(keys, o_h)}
-                paint = model.projected(cosmo, r_sep / a_h.astype(dt), M_h,
-                                        a_h, **kw)
+                if curve_meta is not None:
+                    from ..utils.Tabulate import TabulatedProfile as _TP
+                    curve_h = o_h[-1]
+                    ln_r0, dlnr = curve_meta
+                    # curves store log(Sigma * a): divide the a factor out
+                    paint = _TP.curve_lookup(curve_h.astype(dt), ln_r0,
+                                             dlnr, r_com) / a_h.astype(dt)
+                else:
+                    kw = {k: o for k, o in zip(keys, o_h)}
+                    paint = model.projected(cosmo, r_com, M_h, a_h, **kw)
                 paint = jnp.reshape(paint, r_sep.shape)
                 paint = jnp.where(jnp.isfinite(paint), paint, 0.0)
                 if include_pix:
-                    paint = paint * (pixarea * D_h ** 2)
+                    paint = paint * (pixarea * D_h ** 2).astype(dt)
                 paint = jnp.where(mask & valid_h, paint, 0.0)
                 pix = jnp.where(mask & valid_h, pix, npix)
                 return pix, paint
@@ -475,12 +491,14 @@ class PaintProfilesShell(DefaultRunner):
                                                 a_b, D_b, valid_b,
                                                 *extras_b)
                 return acc.at[pix.reshape(-1)].add(
-                    paint.reshape(-1).astype(jnp.float64)), None
+                    paint.reshape(-1).astype(acc.dtype)), None
             return body
 
+        acc_dtype = (jnp.float32 if self.regrid_dtype == jnp.float32
+                     else jnp.float64)
         acc = self._bucketed_accumulate(make_body, hd, extras, (npix + 1,),
-                                        jnp.float64, NSIDE)
-        return np.asarray(acc[:npix])
+                                        acc_dtype, NSIDE)
+        return np.asarray(acc[:npix], dtype=np.float64)
 
 
 class PaintProfilesAnisShell(DefaultRunner):

@@ -123,6 +123,59 @@ class TabulatedProfile:
         # table stored Sigma * a; divide the factor back out
         return self._readout(self._tab2D, r, M, a) / a
 
+    def with_dtype(self, dtype):
+        """Shallow copy with tables cast to ``dtype`` (f32 hot path)."""
+        import copy
+        new = copy.copy(self)
+        new._axes = tuple(ax.astype(dtype) for ax in self._axes)
+        new._tab3D = self._tab3D.astype(dtype)
+        new._tab2D = self._tab2D.astype(dtype)
+        return new
+
+    def halo_curves(self, M, a, kind="projected"):
+        """Per-halo log-profile curves on the radial grid: interpolate the
+        constant (z, M) axes once per halo; per-pixel readout becomes a
+        log-uniform 1D lookup (runner hot-path optimization).
+
+        Returns (curves (n, n_r) of LOG values, ln_r0, dlnr). ``projected``
+        curves are log(Sigma * a) — the runner divides the a factor out.
+        Out-of-table (z, M) rows are -inf (reads exp to 0).
+        """
+        tab = self._tab2D if kind == "projected" else self._tab3D
+        dt = tab.dtype
+        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=dt))
+        a_use = jnp.atleast_1d(jnp.asarray(a, dtype=dt))
+        n = M_use.size
+        z_in = jnp.broadcast_to(jnp.log(1.0 / a_use), (n,))
+        m_in = jnp.log(M_use)
+
+        def locate(ax, x):
+            i = jnp.clip(jnp.searchsorted(ax, x, side="right") - 1,
+                         0, ax.shape[0] - 2)
+            t = (x - ax[i]) / (ax[i + 1] - ax[i])
+            oob = (x < ax[0]) | (x > ax[-1])
+            return i, t, oob
+
+        iz, tz, oz = locate(self._axes[0], z_in)
+        im, tm, om = locate(self._axes[1], m_in)
+        c = ((1 - tz)[:, None] * ((1 - tm)[:, None] * tab[iz, im]
+                                  + tm[:, None] * tab[iz, im + 1])
+             + tz[:, None] * ((1 - tm)[:, None] * tab[iz + 1, im]
+                              + tm[:, None] * tab[iz + 1, im + 1]))
+        c = jnp.where((oz | om)[:, None], -jnp.inf, c)
+        ln_r = self._axes[2]
+        return c, ln_r[0], ln_r[1] - ln_r[0]
+
+    @staticmethod
+    def curve_lookup(curve, ln_r0, dlnr, r):
+        """exp(log-curve) at radii r; zero outside the tabulated range."""
+        n_r = curve.shape[-1]
+        x = (jnp.log(jnp.maximum(r, 1e-30)) - ln_r0) / dlnr
+        i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_r - 2)
+        t = x - i
+        out = jnp.exp(curve[i] * (1 - t) + curve[i + 1] * t)
+        return jnp.where((x < 0) | (x > n_r - 1), 0.0, out)
+
 
 class ParamTabulatedProfile:
     """Tabulated profile with arbitrary extra parameter axes
