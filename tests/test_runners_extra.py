@@ -1,0 +1,130 @@
+"""Coverage for the remaining runner surface: anisotropic painting,
+2D ellipticity, SimpleParallel, log_time."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from baryonforge_tpu import Profiles, Runners, utils, parallel
+from baryonforge_tpu.Runners.Map2DRunner import (PaintProfilesGrid,
+                                                 PaintProfilesAnisGrid,
+                                                 BaryonifyGrid)
+from defaults import COSMO, COSMO_DICT, bpar_S19
+
+RNG = np.random.default_rng(66)
+NSIDE = 32
+NPIX = 12 * NSIDE * NSIDE
+
+
+def _tab(proj_cutoff=100, r_steps=500):
+    t = utils.TabulatedProfile(Profiles.DarkMatter(
+        **bpar_S19, proj_cutoff=proj_cutoff), COSMO)
+    t.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=3,
+                         M_min=1e13, M_max=3e15, N_samples_Mass=6,
+                         R_min=1e-3, R_max=60, N_samples_R=48,
+                         verbose=False)
+    return t
+
+
+def _cat(n=24):
+    return utils.HaloLightConeCatalog(
+        ra=RNG.uniform(0, 360, n),
+        dec=np.degrees(np.arcsin(RNG.uniform(-1, 1, n))),
+        M=10 ** RNG.uniform(13.5, 14.8, n),
+        z=RNG.uniform(0.1, 0.4, n), cosmo=COSMO_DICT)
+
+
+def test_paint_anis_shell():
+    cat = _cat()
+    tab = _tab()
+    shell = utils.LightconeShell(map=RNG.exponential(1.0, NPIX),
+                                 cosmo=COSMO_DICT, redshift=0.25)
+    runner = Runners.PaintProfilesAnisShell(
+        cat, shell, epsilon_max=5, model=tab, Tracer_model=tab,
+        Mtot_model=tab, background_val=1.0, global_tracer_fraction=0.1,
+        halo_batch=8, verbose=False)
+    out = runner.process()
+    assert out.shape == (NPIX,)
+    assert np.all(np.isfinite(out))
+    assert out.sum() > 0
+
+
+def test_paint_anis_grid():
+    N, L = 32, 128.0
+    n = 12
+    bins = (np.arange(N) + 0.5) * (L / N)
+    cat = utils.HaloNDCatalog(x=RNG.uniform(0, L, n), y=RNG.uniform(0, L, n),
+                              M=10 ** RNG.uniform(13.5, 14.5, n),
+                              redshift=0.2, cosmo=COSMO_DICT)
+    gm = utils.GriddedMap(map=RNG.exponential(1.0, (N, N)), bins=bins,
+                          cosmo=COSMO_DICT, redshift=0.2)
+    tab = _tab()
+    out = PaintProfilesAnisGrid(
+        cat, gm, epsilon_max=5, model=tab, Tracer_model=tab,
+        Mtot_model=tab, background_val=1.0, global_tracer_fraction=0.1,
+        halo_batch=4).process()
+    assert out.shape == (N, N)
+    assert np.all(np.isfinite(out))
+
+
+def test_grid_ellipticity_2d():
+    N, L = 64, 128.0
+    n = 8
+    bins = (np.arange(N) + 0.5) * (L / N)
+    A_ell = RNG.normal(size=(n, 2))
+    cat = utils.HaloNDCatalog(x=RNG.uniform(0, L, n), y=RNG.uniform(0, L, n),
+                              M=10 ** RNG.uniform(14.0, 14.5, n),
+                              redshift=0.2, cosmo=COSMO_DICT,
+                              q_ell=RNG.uniform(0.5, 0.9, n), A_ell=A_ell)
+    gm = utils.GriddedMap(map=np.zeros((N, N)), bins=bins,
+                          cosmo=COSMO_DICT, redshift=0.2)
+    tab = _tab()
+    out_e = PaintProfilesGrid(cat, gm, epsilon_max=5, model=tab,
+                              use_ellipticity=True, halo_batch=4).process()
+    out_c = PaintProfilesGrid(cat, gm, epsilon_max=5, model=tab,
+                              use_ellipticity=False, halo_batch=4).process()
+    assert np.all(np.isfinite(out_e)) and out_e.sum() > 0
+    # elliptical painting differs from circular
+    assert not np.allclose(out_e, out_c)
+    # ellipticity on the baryonify path too
+    DMO = Profiles.DarkMatter(**bpar_S19)
+    DMB = Profiles.DarkMatter(**{**bpar_S19, "epsilon": 2.0})
+    from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification3D
+    model = Baryonification3D(DMO, DMB, COSMO, epsilon_max=20)
+    model.setup_interpolator(z_min=0.1, z_max=0.3, N_samples_z=2,
+                             M_min=1e13, M_max=1e15, N_samples_Mass=4,
+                             R_min=1e-3, R_max=50, N_samples_R=32,
+                             verbose=False)
+    gm2 = utils.GriddedMap(map=RNG.exponential(1.0, (N, N)), bins=bins,
+                           cosmo=COSMO_DICT, redshift=0.2)
+    out_b = BaryonifyGrid(cat, gm2, epsilon_max=20, model=model,
+                          use_ellipticity=True, halo_batch=4).process()
+    np.testing.assert_allclose(out_b.sum(), gm2.map.sum(), rtol=1e-10)
+
+
+def test_simple_parallel():
+    cat = _cat(8)
+    tab = _tab()
+    shells = [utils.LightconeShell(map=np.zeros(NPIX), cosmo=COSMO_DICT)
+              for _ in range(2)]
+    runners = [Runners.PaintProfilesShell(cat, s, epsilon_max=5, model=tab,
+                                          halo_batch=4, verbose=False)
+               for s in shells]
+    outs = parallel.SimpleParallel(runners).process()
+    assert len(outs) == 2
+    np.testing.assert_allclose(outs[0], outs[1])
+
+
+def test_log_time(capsys):
+    from baryonforge_tpu.utils import log_time
+
+    @log_time
+    def work(x, log_line_time=None):
+        log_line_time("start")
+        y = x * 2
+        log_line_time("end")
+        return y
+
+    assert work(21) == 42
+    out = capsys.readouterr().out
+    assert "start" in out and "end" in out
