@@ -132,6 +132,29 @@ class TabulatedProfile:
         new._tab2D = self._tab2D.astype(dtype)
         return new
 
+    def save_table(self, path):
+        """Checkpoint the profile tables to ``path`` (.npz); the reference
+        relies on pickling instead (destory_Pk, Tabulate.py:276)."""
+        np.savez(path, tab3D=self.raw_input_3D, tab2D=self.raw_input_2D,
+                 z_range=self.raw_input_z_range,
+                 M_range=self.raw_input_M_range,
+                 r_range=self.raw_input_r_range)
+
+    def load_table(self, path):
+        """Restore tables saved with :meth:`save_table`."""
+        f = np.load(path)
+        self.raw_input_3D = f["tab3D"]
+        self.raw_input_2D = f["tab2D"]
+        self.raw_input_z_range = f["z_range"]
+        self.raw_input_M_range = f["M_range"]
+        self.raw_input_r_range = f["r_range"]
+        self._axes = (jnp.asarray(self.raw_input_z_range),
+                      jnp.asarray(self.raw_input_M_range),
+                      jnp.asarray(self.raw_input_r_range))
+        self._tab3D = jnp.asarray(self.raw_input_3D)
+        self._tab2D = jnp.asarray(self.raw_input_2D)
+        return self
+
     def halo_curves(self, M, a, kind="projected"):
         """Per-halo log-profile curves on the radial grid: interpolate the
         constant (z, M) axes once per halo; per-pixel readout becomes a
