@@ -326,6 +326,16 @@ class BaryonifyShell(DefaultRunner):
         theta = jnp.abs(theta)
         theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
         cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
+        # untouched pixels (zero offset) map to themselves EXACTLY — an
+        # identity even in f32 where recomputed weights carry roundoff
+        unmoved = ((pix_offsets[:, 0] == 0)
+                   & (pix_offsets[:, 1] == 0))[:, None]
+        self_pix = jnp.arange(npix, dtype=cpix.dtype)[:, None]
+        first = jnp.arange(4) == 0
+        cpix = jnp.where(unmoved, jnp.where(first[None, :], self_pix, 0),
+                         cpix)
+        cw = jnp.where(unmoved,
+                       jnp.where(first[None, :], rdt(1.0), rdt(0.0)), cw)
         # accumulate in rdt: with f32 the summed-map error is ~1e-7
         # relative — far inside the reference's np.isclose conservation
         # tolerance (rtol 1e-5, HealpixRunner.py:370)

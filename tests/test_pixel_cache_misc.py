@@ -57,9 +57,12 @@ def test_convolved_healpixel_projected():
     out = np.asarray(conv.projected(COSMO, R, 1e14, 0.8))
     raw = np.asarray(dm.projected(COSMO, R, 1e14, 0.8))
     assert np.all(np.isfinite(out))
-    # beam conserves flux at large scales, suppresses the core
+    # beam conserves the profile beyond the beam scale, suppresses the
+    # core; compare only above the FFTLog ringing floor (~1e-3 of peak)
     assert out[0] < raw[0]
-    np.testing.assert_allclose(out[-5:], raw[-5:], rtol=0.05)
+    sel = (raw > 1e-3 * raw.max()) & (R > 1.0)
+    assert sel.sum() >= 3
+    np.testing.assert_allclose(out[sel], raw[sel], rtol=0.05)
 
 
 def test_cached_profile():
