@@ -52,15 +52,21 @@ def test_healpixel_beam_properties():
 
 
 def test_convolved_healpixel_projected():
+    from baryonforge_tpu.cosmo import core as ccore
+    a = 0.8
+    nside = 2048
     dm = Profiles.DarkMatter(**bpar_S19, proj_cutoff=100)
-    conv = utils.ConvolvedProfile(dm, utils.HealPixel(NSIDE=256))
-    out = np.asarray(conv.projected(COSMO, R, 1e14, 0.8))
-    raw = np.asarray(dm.projected(COSMO, R, 1e14, 0.8))
+    px = utils.HealPixel(NSIDE=nside)
+    conv = utils.ConvolvedProfile(dm, px)
+    out = np.asarray(conv.projected(COSMO, R, 1e14, a))
+    raw = np.asarray(dm.projected(COSMO, R, 1e14, a))
     assert np.all(np.isfinite(out))
-    # beam conserves the profile beyond the beam scale, suppresses the
-    # core; compare only above the FFTLog ringing floor (~1e-3 of peak)
+    # the beam suppresses the core ...
     assert out[0] < raw[0]
-    sel = (raw > 1e-3 * raw.max()) & (R > 1.0)
+    # ... and conserves the profile well beyond the (comoving) beam scale,
+    # above the FFTLog ringing floor
+    beam_com = px.size * float(ccore.comoving_radial_distance(COSMO, a)[0])
+    sel = (R > 5 * beam_com) & (raw > 1e-3 * raw.max())
     assert sel.sum() >= 3
     np.testing.assert_allclose(out[sel], raw[sel], rtol=0.05)
 
