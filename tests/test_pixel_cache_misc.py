@@ -66,9 +66,9 @@ def test_convolved_healpixel_projected():
     # ... and conserves the profile well beyond the (comoving) beam scale,
     # above the FFTLog ringing floor
     beam_com = px.size * float(ccore.comoving_radial_distance(COSMO, a)[0])
-    sel = (R > 5 * beam_com) & (raw > 1e-3 * raw.max())
+    sel = (R > 4 * beam_com) & (raw > 2e-4 * raw.max())
     assert sel.sum() >= 3
-    np.testing.assert_allclose(out[sel], raw[sel], rtol=0.05)
+    np.testing.assert_allclose(out[sel], raw[sel], rtol=0.08)
 
 
 def test_cached_profile():
