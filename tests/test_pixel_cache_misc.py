@@ -58,15 +58,16 @@ def test_convolved_healpixel_projected():
     dm = Profiles.DarkMatter(**bpar_S19, proj_cutoff=100)
     px = utils.HealPixel(NSIDE=nside)
     conv = utils.ConvolvedProfile(dm, px)
-    out = np.asarray(conv.projected(COSMO, R, 1e14, a))
-    raw = np.asarray(dm.projected(COSMO, R, 1e14, a))
+    R_t = np.geomspace(1e-2, 8.0, 24)    # dense where the profile lives
+    out = np.asarray(conv.projected(COSMO, R_t, 1e14, a))
+    raw = np.asarray(dm.projected(COSMO, R_t, 1e14, a))
     assert np.all(np.isfinite(out))
     # the beam suppresses the core ...
     assert out[0] < raw[0]
     # ... and conserves the profile well beyond the (comoving) beam scale,
     # above the FFTLog ringing floor
     beam_com = px.size * float(ccore.comoving_radial_distance(COSMO, a)[0])
-    sel = (R > 4 * beam_com) & (raw > 2e-4 * raw.max())
+    sel = (R_t > 4 * beam_com) & (raw > 1e-4 * raw.max())
     assert sel.sum() >= 3
     np.testing.assert_allclose(out[sel], raw[sel], rtol=0.08)
 
