@@ -12,3 +12,5 @@ from .concentration import (ConcentrationConstant, ConcentrationDiemer15,
                             ConcentrationDuffy08, ConcentrationBhattacharya13,
                             ConcentrationPrada12, ConcentrationKlypin11,
                             ConcentrationIshiyama21, GenericConcentration)
+from .concentration import (Duffy08, Klypin11, Prada12, Diemer15,
+                            Bhattacharya13, Ishiyama21)

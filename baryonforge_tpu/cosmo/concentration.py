@@ -179,3 +179,32 @@ class GenericConcentration:
 
     def __hash__(self):
         return hash((type(self).__name__, self.base, self.mass_def))
+
+
+def _make_remapper(base_cls, name):
+    """Named cross-definition remappers (reference concentration.py:156-189):
+    e.g. ``Duffy08(mass_def=MassDef200m)`` evaluates the native Duffy08
+    relation and remaps it to the requested definition preserving r_s."""
+
+    def __init__(self, mass_def=massdef.MassDef200c, **kw):
+        base = base_cls(**kw) if kw else base_cls()
+        object.__setattr__(self, "base", base)
+        object.__setattr__(self, "mass_def", mass_def)
+        object.__setattr__(self, "n_grid", 128)
+
+    cls = type(name, (GenericConcentration,), {"__init__": __init__})
+    cls.__doc__ = (f"{name} concentration remapped to an arbitrary mass "
+                   "definition (r_s-preserving).")
+    return cls
+
+
+Duffy08 = _make_remapper(ConcentrationDuffy08, "Duffy08")
+Klypin11 = _make_remapper(ConcentrationKlypin11, "Klypin11")
+Prada12 = _make_remapper(ConcentrationPrada12, "Prada12")
+Diemer15 = _make_remapper(ConcentrationDiemer15, "Diemer15")
+Bhattacharya13 = _make_remapper(ConcentrationBhattacharya13,
+                                "Bhattacharya13")
+Ishiyama21 = _make_remapper(ConcentrationIshiyama21, "Ishiyama21")
+
+__all__ += ["Duffy08", "Klypin11", "Prada12", "Diemer15",
+            "Bhattacharya13", "Ishiyama21"]
