@@ -127,3 +127,38 @@ def test_paint_single_halo_matches_direct_eval():
     assert len(sel) > 0
     expect = np.asarray(tab.projected(COSMO, r_sep[sel] / a, 1e15, a))
     np.testing.assert_allclose(out[sel], expect, rtol=1e-2)
+
+
+def test_sparse_regrid_matches_dense():
+    # the sparse (moved-pixels-only) regrid must agree with the dense one
+    # and conserve mass; exercised directly at both dtypes
+    from baryonforge_tpu.Runners.HealpixRunner import BaryonifyShell
+    from functools import partial
+    nside = 32
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(5)
+    po = np.zeros((npix, 2))
+    sel = rng.random(npix) < 0.15
+    po[sel] = (rng.random((sel.sum(), 2)) - 0.5) * 4e-3
+    po = jnp.asarray(po)
+    orig = jnp.asarray(rng.exponential(1.0, npix))
+    p = jnp.arange(npix, dtype=jnp.int32)
+    for rdt, rtol in ((jnp.float64, 1e-14), (jnp.float32, 1e-5)):
+        th, ph = hpx.pix2ang(nside, p, rdt)
+        ang = jnp.stack([th, ph], 1)
+        dense = np.asarray(BaryonifyShell._phase_b(
+            nside, npix, rdt, ang, po, orig))
+        S = 1
+        while S < sel.sum():
+            S *= 2
+        sparse = np.asarray(BaryonifyShell._phase_b_sparse(
+            nside, npix, rdt, S, ang, po, orig))
+        np.testing.assert_allclose(sparse, dense, rtol=rtol, atol=1e-12)
+        np.testing.assert_allclose(sparse.sum(), np.asarray(orig).sum(),
+                                   rtol=1e-6)
+    # zero displacement through the sparse path is an exact identity
+    th, ph = hpx.pix2ang(nside, p, jnp.float32)
+    ang = jnp.stack([th, ph], 1)
+    out0 = np.asarray(BaryonifyShell._phase_b_sparse(
+        nside, npix, jnp.float32, 1, ang, jnp.zeros((npix, 2)), orig))
+    assert np.array_equal(out0, np.asarray(orig, np.float32))
