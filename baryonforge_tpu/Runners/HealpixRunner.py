@@ -156,19 +156,47 @@ class DefaultRunner:
         radius = hd["radius"]
         n = radius.shape[0]
         nbuck = max(1, min(self.n_size_buckets, n))
-        order = np.argsort(radius)
-        splits = np.array_split(order, nbuck)
+
+        # second bucketing axis: the disc's minimum sin(theta). Near-polar
+        # rings force a phi window ~2-3x wider than the equatorial need,
+        # and for an isotropic catalog only a few % of discs ever touch
+        # them — giving those their own (wider) kernels lets everyone else
+        # run with the tight window. The equatorial class (>~95% of halos)
+        # keeps the radius quantile buckets; the two polar classes are each
+        # a single bucket to bound kernel count (each static window shape
+        # is a separate XLA compile).
+        theta_c = hd["theta"]
+        lo = np.minimum(np.sin(theta_c - radius), np.sin(theta_c + radius))
+        pole = (theta_c - radius < 0) | (theta_c + radius > np.pi)
+        smin = np.where(pole, 0.0, np.maximum(lo, 0.0))
+        S_EQ = 0.25
+        eq = smin >= S_EQ
+        mid = (smin >= 0.05) & ~eq
+        pol = smin < 0.05
+
+        groups = []                      # (halo index array, sin_min band)
+        order = np.argsort(radius[eq])
+        for idx in np.array_split(np.where(eq)[0][order], nbuck):
+            groups.append((idx, S_EQ))
+        groups.append((np.where(mid)[0], 0.05))
+        groups.append((np.where(pol)[0], 0.0))
 
         arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
                   hd["D"]]
         acc_total = None
-        for idx in splits:
+        for idx, s_th in groups:
             if idx.size == 0:
                 continue
             r_max = float(radius[idx].max())
-            K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, r_max)
+            K_ring, K_phi = hpx.disc_pad_sizes(NSIDE, r_max, s_th)
+            K_phi = -(-K_phi // 4) * 4       # quantize: stable jit shapes
             K = K_ring * K_phi
+            # even batch split: ceil-divide halos over the minimum number
+            # of pixel_budget-sized batches (a lone ragged tail batch
+            # would waste up to batch*K padded pixels)
             batch = int(np.clip(self.pixel_budget // K, 8, self.halo_batch))
+            nb = -(-idx.size // batch)
+            batch = max(8, (-(-idx.size // nb) + 7) // 8 * 8)
             body = make_body(K_ring, K_phi)
             sub = [a[idx].astype(np.float64) for a in arrays] \
                 + [e[idx] for e in extras]

@@ -294,9 +294,16 @@ def interp_values(nside, hmap, theta, phi):
 # ---------------------------------------------------------------------------
 # Static-shape disc queries (hp.query_disc replacement)
 # ---------------------------------------------------------------------------
-def disc_pad_sizes(nside, radius_max):
+def disc_pad_sizes(nside, radius_max, sin_min=0.0):
     """Host-side: padded (K_ring, K_phi) window sizes for discs of angular
     radius <= radius_max (radians). Conservative but static.
+
+    ``sin_min`` restricts the worst-case search to rings with
+    sin(theta) >= sin_min: a disc whose colatitude band stays inside that
+    region never touches the excluded polar rings, so its phi window can
+    be much tighter. Near-polar rings force K_phi ~2-3x larger than the
+    equatorial need, and >95% of (isotropic) halos never go there —
+    bucketing by the disc's minimum sin(theta) recovers that factor.
     """
     N = nside
     # ring spacing: equatorial dz = 2/(3N) => dtheta >= ~0.64/N everywhere;
@@ -319,7 +326,10 @@ def disc_pad_sizes(nside, radius_max):
     whole = sin_t <= sin_a
     half_w = np.where(whole, np.pi, np.arcsin(np.minimum(sin_a / sin_t, 1.0)))
     need = np.minimum(np.ceil(2.0 * half_w / dphi) + 3, nr)
-    K_phi = int(np.max(need))
+    band = sin_t >= sin_min
+    if not band.any():
+        band = np.ones_like(band)
+    K_phi = int(np.max(need[band]))
     return K_ring, K_phi
 
 
