@@ -72,6 +72,22 @@ class DefaultRunner:
             raise NotImplementedError(
                 "use_ellipticity is not implemented for curved-sky runners")
 
+    def build_Rmat(self, A, ref):
+        """2x2 rotation matrix aligning vector ``A`` with ``ref``
+        (API parity with reference HealpixRunner.py:180-208)."""
+        A = np.asarray(A, dtype=float)
+        ref = np.asarray(ref, dtype=float)
+        A = A / np.linalg.norm(A)
+        ref = ref / np.linalg.norm(ref)
+        ang = np.arccos(np.clip(np.dot(A, ref), -1.0, 1.0))
+        return np.array([[np.cos(ang), -np.sin(ang)],
+                         [np.sin(ang), np.cos(ang)]])
+
+    def coord_array(self, *args):
+        """Flatten and column-stack coordinate arrays
+        (reference HealpixRunner.py:212-232)."""
+        return np.vstack([np.asarray(a).flatten() for a in args]).T
+
     def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype):
         """Scan ``scan_fn`` over the batch axis, optionally sharded over
         the mesh's 'halos' axis with a psum reduction."""
@@ -152,7 +168,33 @@ class DefaultRunner:
 
         ``make_body(K_ring, K_phi)`` must return the scan body over one
         padded halo batch.
+
+        The grouped/padded device batches are cached keyed by the catalog
+        object: repeated process() calls (parameter sweeps over the same
+        halos) skip the host-side bucketing and the host->device batch
+        upload entirely.
         """
+        pkey = ("prepared", id(self.HaloLightConeCatalog), NSIDE,
+                hd["radius"].shape[0], float(hd["radius"].sum()),
+                len(extras), self._n_batch_multiple())
+        if pkey in self._compiled:
+            prepared = self._compiled[pkey]
+        else:
+            prepared = self._prepare_groups(hd, extras, NSIDE)
+            for k in [k for k in self._compiled if k[0] == "prepared"]:
+                del self._compiled[k]
+            self._compiled[pkey] = prepared
+
+        acc_total = None
+        for (K_ring, K_phi, batches) in prepared:
+            body = make_body(K_ring, K_phi)
+            acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype)
+            acc_total = acc if acc_total is None else acc_total + acc
+        return acc_total
+
+    def _prepare_groups(self, hd, extras, NSIDE):
+        """Host-side bucketing + padding + device upload (see
+        _bucketed_accumulate)."""
         radius = hd["radius"]
         n = radius.shape[0]
         nbuck = max(1, min(self.n_size_buckets, n))
@@ -183,7 +225,7 @@ class DefaultRunner:
 
         arrays = [hd["theta"], hd["phi"], hd["radius"], hd["M"], hd["a"],
                   hd["D"]]
-        acc_total = None
+        prepared = []
         for idx, s_th in groups:
             if idx.size == 0:
                 continue
@@ -197,16 +239,14 @@ class DefaultRunner:
             batch = int(np.clip(self.pixel_budget // K, 8, self.halo_batch))
             nb = -(-idx.size // batch)
             batch = max(8, (-(-idx.size // nb) + 7) // 8 * 8)
-            body = make_body(K_ring, K_phi)
             sub = [a[idx].astype(np.float64) for a in arrays] \
                 + [e[idx] for e in extras]
             batched, valid = self._padded_batches(sub, batch)
             batches = tuple([jnp.asarray(b) for b in batched[:6]]
                             + [jnp.asarray(valid)]
                             + [jnp.asarray(b) for b in batched[6:]])
-            acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype)
-            acc_total = acc if acc_total is None else acc_total + acc
-        return acc_total
+            prepared.append((K_ring, K_phi, batches))
+        return prepared
 
 
 class BaryonifyShell(DefaultRunner):
@@ -464,16 +504,24 @@ class BaryonifyShell(DefaultRunner):
         if np.allclose(orig_map, 0):
             return orig_map
 
-        hd = self._host_halo_data(cosmo)
         keys = self._model_p_keys()
-        cat = self.HaloLightConeCatalog.cat
-        extras = [np.asarray(cat[k], dtype=float) for k in keys]
-
-        curve_meta = None
-        if self._use_curves():
-            curves, Rcom, rscale, ln_r0, dlnr = self._halo_curve_arrays(hd)
-            extras = extras + [curves, Rcom, rscale]
-            curve_meta = (ln_r0, dlnr)
+        hkey = ("hostprep", id(self.HaloLightConeCatalog),
+                len(self.HaloLightConeCatalog.cat["M"]))
+        if hkey in self._compiled:
+            hd, extras, curve_meta = self._compiled[hkey]
+        else:
+            hd = self._host_halo_data(cosmo)
+            cat = self.HaloLightConeCatalog.cat
+            extras = [np.asarray(cat[k], dtype=float) for k in keys]
+            curve_meta = None
+            if self._use_curves():
+                curves, Rcom, rscale, ln_r0, dlnr = \
+                    self._halo_curve_arrays(hd)
+                extras = extras + [curves, Rcom, rscale]
+                curve_meta = (ln_r0, dlnr)
+            for k in [k for k in self._compiled if k[0] == "hostprep"]:
+                del self._compiled[k]
+            self._compiled[hkey] = (hd, extras, curve_meta)
 
         make_body = self._make_body_factory(NSIDE, npix, keys, curve_meta)
         pix_offsets = self._bucketed_accumulate(

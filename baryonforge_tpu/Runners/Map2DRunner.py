@@ -86,6 +86,31 @@ class DefaultRunnerGrid:
                     "ellipticity is 2D-only (as in the reference)")
 
     # ------------------------------------------------------------------
+    def build_Rmat(self, A, q):
+        """Public 2x2 shear/rotation matrix from axis direction ``A`` and
+        axis ratio ``q`` (API parity with reference
+        Map2DRunner.py:281-350; 3D rotation unverified upstream and
+        likewise not implemented here)."""
+        A = np.asarray(A, dtype=float)
+        if A.ndim != 1 or len(A) == 1:
+            raise ValueError("Can't rotate a 1-dimensional vector")
+        if len(A) == 3:
+            raise NotImplementedError(
+                "3D ellipticity rotation is not implemented; use the 2D "
+                "method")
+        return np.asarray(_shear_matrix(jnp.asarray(A), float(q)))
+
+    def coord_array(self, *args):
+        """Flatten and column-stack coordinate arrays
+        (reference Map2DRunner.py:352-372)."""
+        return np.vstack([np.asarray(a).flatten() for a in args]).T
+
+    def pick_indices(self, center, width, Npix):
+        """Periodically-wrapped index window [center-width, center+width)
+        (reference Map2DRunner.py:400-430)."""
+        inds = np.arange(center - width, center + width)
+        return np.mod(inds, Npix)
+
     def _halo_data(self, cosmo):
         cat = self.HaloNDCatalog.cat
         a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)

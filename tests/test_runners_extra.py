@@ -128,3 +128,27 @@ def test_log_time(capsys):
     assert work(21) == 42
     out = capsys.readouterr().out
     assert "start" in out and "end" in out
+
+
+def test_runner_helper_api():
+    # build_Rmat / coord_array / pick_indices parity helpers
+    from baryonforge_tpu.Runners.HealpixRunner import DefaultRunner
+    from baryonforge_tpu.Runners.Map2DRunner import DefaultRunnerGrid
+    import numpy as np
+
+    r = DefaultRunner.__new__(DefaultRunner)
+    R = r.build_Rmat(np.array([1.0, 0.0]), np.array([0.0, 1.0]))
+    np.testing.assert_allclose(R @ np.array([1.0, 0.0]),
+                               np.array([0.0, 1.0]), atol=1e-12)
+    xy = r.coord_array(np.arange(4).reshape(2, 2), np.ones((2, 2)))
+    assert xy.shape == (4, 2) and xy[2, 0] == 2 and xy[3, 1] == 1
+
+    g = DefaultRunnerGrid.__new__(DefaultRunnerGrid)
+    # q=1 -> identity shear
+    np.testing.assert_allclose(g.build_Rmat(np.array([1.0, 0.0]), 1.0),
+                               np.eye(2), atol=1e-12)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        g.build_Rmat(np.array([1.0, 0.0, 0.0]), 0.7)
+    inds = g.pick_indices(1, 3, 10)
+    np.testing.assert_array_equal(inds, [8, 9, 0, 1, 2, 3])
