@@ -152,3 +152,22 @@ def test_runner_helper_api():
         g.build_Rmat(np.array([1.0, 0.0, 0.0]), 0.7)
     inds = g.pick_indices(1, 3, 10)
     np.testing.assert_array_equal(inds, [8, 9, 0, 1, 2, 3])
+
+
+def test_models_are_pickleable():
+    # SURVEY §5 checkpoint/parallelism parity: built tables must survive
+    # pickling (the reference strips SwigPyObjects via destory_Pk; our
+    # models hold plain arrays so pickle round-trips directly)
+    import pickle
+    from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification3D
+    DMO = Profiles.DarkMatter(**bpar_S19)
+    DMB = Profiles.DarkMatter(**{**bpar_S19, "epsilon": 2.0})
+    model = Baryonification3D(DMO, DMB, COSMO, epsilon_max=20)
+    model.setup_interpolator(z_min=0.1, z_max=0.3, N_samples_z=2,
+                             M_min=1e13, M_max=1e15, N_samples_Mass=3,
+                             R_min=1e-3, R_max=50, N_samples_R=16,
+                             verbose=False)
+    m2 = pickle.loads(pickle.dumps(model))
+    r = np.geomspace(0.1, 10, 8)
+    np.testing.assert_allclose(np.asarray(model.displacement(r, 1e14, 0.8)),
+                               np.asarray(m2.displacement(r, 1e14, 0.8)))
