@@ -314,11 +314,15 @@ class CollisionlessMatter(SchneiderProfiles):
         M_cga = cmass(rho_cga)
         M_gas = cmass(rho_gas)
 
-        ln_Mi = jnp.log(M_i)
+        # floor the cumulative masses: an injected Zeros() component (ref.
+        # allows sub-profile injection) gives M(<r)=0 whose log would
+        # poison the PCHIP relaxation with -inf/NaN; 1e-20 Msun acts as
+        # "contributes nothing" while keeping the interpolants finite
+        ln_Mi = jnp.log(jnp.maximum(M_i, 1e-20))
         d_nfw = jax.vmap(lambda y: pchip_derivatives(lnr, y))(ln_Mi)
-        ln_Mc = jnp.log(M_cga)
+        ln_Mc = jnp.log(jnp.maximum(M_cga, 1e-20))
         d_cga = jax.vmap(lambda y: pchip_derivatives(lnr, y))(ln_Mc)
-        ln_Mg = jnp.log(M_gas)
+        ln_Mg = jnp.log(jnp.maximum(M_gas, 1e-20))
         d_gas = jax.vmap(lambda y: pchip_derivatives(lnr, y))(ln_Mg)
 
         def body(_, zeta):

@@ -124,3 +124,21 @@ def test_identity_zeros():
     T = Profiles.Truncation(epsilon_trunc=1.0)
     out = np.asarray(T.real(COSMO, R, 1e14, 1.0))
     assert out[0] == 1.0 and out[-1] == 0.0
+
+
+def test_clm_with_zeros_subprofile():
+    # injected Zeros() components must not poison the relaxation with
+    # log(0) (sub-profile injection, reference Schneider19.py:778-814)
+    r = np.geomspace(0.05, 10, 10)
+    clm0 = Profiles.CollisionlessMatter(**bpar_S19)
+    clm = Profiles.CollisionlessMatter(
+        darkmatter=Profiles.DarkMatter(**bpar_S19),
+        gas=Profiles.Gas(**bpar_S19),
+        stars=Profiles.Zeros(), **bpar_S19)
+    v = np.asarray(clm.real(COSMO, r, 1e14, 0.8)).ravel()
+    f = np.asarray(clm0.real(COSMO, r, 1e14, 0.8)).ravel()
+    assert np.all(np.isfinite(v)) and np.all(v > 0)
+    # removing central stars relaxes the core outward (lower density)
+    assert v[0] < f[0]
+    # far field unchanged at the few-percent level
+    np.testing.assert_allclose(v[-3:], f[-3:], rtol=0.05)
