@@ -373,7 +373,8 @@ class BaryonifyShell(DefaultRunner):
         return make_body
 
     @staticmethod
-    def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig):
+    def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig,
+                 chunk_cap=(1 << 24)):
         """Global regrid: one fused pass over the map. In float64 (default)
         the zero-displacement case is an exact identity; float32
         (regrid_dtype option) carries ~1e-4 weight noise — within the 1e-3
@@ -383,33 +384,65 @@ class BaryonifyShell(DefaultRunner):
         ARGUMENT, not recomputed from iota inside the jit: a constant-only
         12M-element chain triggers pathological XLA constant folding at
         compile time (measured 1600s on the remote compiler).
+
+        Sources are processed in <=2^24-pixel chunks via lax.scan: the
+        weight computation materializes ~50 B/source of intermediates,
+        which at NSIDE=4096 (201M pixels) would otherwise blow HBM.
         """
-        theta_p = ang_base[:, 0]
-        phi_p = ang_base[:, 1]
-        sin_t = jnp.sin(theta_p)
-        sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
-        theta = theta_p + pix_offsets[:, 0].astype(rdt)
-        phi = phi_p + pix_offsets[:, 1].astype(rdt) / sin_safe
-        # reflect pole overshoots back into [0, pi]
-        theta = jnp.abs(theta)
-        theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
-        cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
-        # untouched pixels (zero offset) map to themselves EXACTLY — an
-        # identity even in f32 where recomputed weights carry roundoff
-        unmoved = ((pix_offsets[:, 0] == 0)
-                   & (pix_offsets[:, 1] == 0))[:, None]
-        self_pix = jnp.arange(npix, dtype=cpix.dtype)[:, None]
-        first = jnp.arange(4) == 0
-        cpix = jnp.where(unmoved, jnp.where(first[None, :], self_pix, 0),
-                         cpix)
-        cw = jnp.where(unmoved,
-                       jnp.where(first[None, :], rdt(1.0), rdt(0.0)), cw)
+        n_chunks = 1
+        while npix // n_chunks > chunk_cap or npix % n_chunks:
+            n_chunks += 1
+        C = npix // n_chunks
+
+        def weights_chunk(start, po, ab):
+            theta_p = ab[:, 0]
+            phi_p = ab[:, 1]
+            sin_t = jnp.sin(theta_p)
+            sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
+            theta = theta_p + po[:, 0].astype(rdt)
+            phi = phi_p + po[:, 1].astype(rdt) / sin_safe
+            # reflect pole overshoots back into [0, pi]
+            theta = jnp.abs(theta)
+            theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
+            cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
+            # untouched pixels (zero offset) map to themselves EXACTLY —
+            # an identity even in f32 where recomputed weights carry
+            # roundoff
+            unmoved = ((po[:, 0] == 0) & (po[:, 1] == 0))[:, None]
+            self_pix = (start
+                        + jnp.arange(po.shape[0],
+                                     dtype=cpix.dtype))[:, None]
+            first = jnp.arange(4) == 0
+            cpix = jnp.where(unmoved,
+                             jnp.where(first[None, :], self_pix, 0), cpix)
+            cw = jnp.where(unmoved,
+                           jnp.where(first[None, :], rdt(1.0), rdt(0.0)),
+                           cw)
+            return cpix, cw
+
         # accumulate in rdt: with f32 the summed-map error is ~1e-7
         # relative — far inside the reference's np.isclose conservation
         # tolerance (rtol 1e-5, HealpixRunner.py:370)
-        new_map = jnp.zeros(npix, dtype=rdt)
-        contrib = cw * orig.astype(rdt)[:, None]              # (npix, 4)
-        return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
+        if n_chunks == 1:
+            cpix, cw = weights_chunk(0, pix_offsets, ang_base)
+            new_map = jnp.zeros(npix, dtype=rdt)
+            contrib = cw * orig.astype(rdt)[:, None]          # (npix, 4)
+            return new_map.at[cpix.reshape(-1)].add(contrib.reshape(-1))
+
+        def body(acc, i):
+            start = i * C
+            zero = jnp.zeros((), dtype=start.dtype)
+            po = jax.lax.dynamic_slice(pix_offsets, (start, zero), (C, 2))
+            ab = jax.lax.dynamic_slice(ang_base, (start, zero), (C, 2))
+            og = jax.lax.dynamic_slice(orig, (start,), (C,))
+            cpix, cw = weights_chunk(start, po, ab)
+            contrib = cw * og.astype(rdt)[:, None]
+            return acc.at[cpix.reshape(-1)].add(contrib.reshape(-1)), None
+
+        acc = jnp.zeros(npix, dtype=rdt)
+        acc, _ = jax.lax.scan(body, acc,
+                              jnp.arange(n_chunks, dtype=jnp.int32))
+        return acc
 
     @staticmethod
     def _phase_b_sparse(NSIDE, npix, rdt, S, ang_base, pix_offsets, orig):
@@ -456,7 +489,7 @@ class BaryonifyShell(DefaultRunner):
         # compaction is itself a scatter (measured ~2 s at npix=12.6M on
         # TPU, vs 1.8 s for the full dense regrid), so the crossover sits
         # near 1/8 of the map moved
-        if S * 8 <= npix:
+        if S * 8 <= npix and npix <= (1 << 25):
             bkey = ("phase_b_sparse", NSIDE, npix, str(rdt), S)
             if bkey not in self._compiled:
                 self._compiled[bkey] = jax.jit(

@@ -162,3 +162,23 @@ def test_sparse_regrid_matches_dense():
     out0 = np.asarray(BaryonifyShell._phase_b_sparse(
         nside, npix, jnp.float32, 1, ang, jnp.zeros((npix, 2)), orig))
     assert np.array_equal(out0, np.asarray(orig, np.float32))
+
+
+def test_chunked_regrid_matches_unchunked():
+    # the source-chunked regrid (used at NSIDE>=2048 to bound HBM) must
+    # match the single-pass result
+    from baryonforge_tpu.Runners.HealpixRunner import BaryonifyShell
+    nside = 32
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(9)
+    po = jnp.asarray((rng.random((npix, 2)) - 0.5) * 2e-3)
+    orig = jnp.asarray(rng.exponential(1.0, npix))
+    p = jnp.arange(npix, dtype=jnp.int32)
+    th, ph = hpx.pix2ang(nside, p, jnp.float64)
+    ang = jnp.stack([th, ph], 1)
+    one = np.asarray(BaryonifyShell._phase_b(nside, npix, jnp.float64,
+                                             ang, po, orig))
+    many = np.asarray(BaryonifyShell._phase_b(nside, npix, jnp.float64,
+                                              ang, po, orig,
+                                              chunk_cap=npix // 6))
+    np.testing.assert_allclose(many, one, rtol=1e-13, atol=1e-13)
