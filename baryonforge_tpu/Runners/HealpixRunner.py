@@ -299,7 +299,7 @@ class BaryonifyShell(DefaultRunner):
                 # vec2ang. First-order identical to the reference's
                 # normalize(vec + o) - vec (offsets are <~1e-3 rad; the
                 # difference is second order).
-                (pix, cos_t, sin_t, dphi_pix, cosd,
+                (pix, cos_t, sin_t, dphi_pix, sinhd,
                  mask) = hpx.disc_candidates(NSIDE, theta_h, phi_h, rad_h,
                                              K_ring, K_phi, dt)
                 # fallback: fewer than 4 disc pixels -> 4 interp neighbours
@@ -317,13 +317,16 @@ class BaryonifyShell(DefaultRunner):
                     .astype(dt)
                 ct0 = jnp.cos(theta_h).astype(dt)
                 st0 = jnp.sin(theta_h).astype(dt)
-                cosd = jnp.concatenate(
-                    [cosd, (cos_t[-4:] * ct0
-                            + sin_t[-4:] * st0
-                            * jnp.cos(dphi_pix[-4:]))]).astype(dt)
+                hav4 = (jnp.sin(0.5 * (t4 - theta_h)) ** 2
+                        + jnp.sin(t4) * st0
+                        * jnp.sin(0.5 * dphi_pix[-4:]) ** 2)
+                sinhd = jnp.concatenate(
+                    [sinhd, jnp.sqrt(jnp.clip(hav4, 0.0, 1.0))]).astype(dt)
 
                 # chord distance on the unit sphere -> physical separation
-                chord = jnp.sqrt(jnp.clip(2.0 - 2.0 * cosd, 0.0, None))
+                # (chord = 2 sin(d/2); haversine-based, f32-stable at
+                # 1-pixel separations)
+                chord = 2.0 * sinhd
                 r_sep = chord * D_h.astype(dt)
 
                 r_com = r_sep / a_h.astype(dt)
@@ -648,10 +651,10 @@ class PaintProfilesShell(DefaultRunner):
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
-                (pix, cos_t, sin_t, dphi_pix, cosd,
+                (pix, cos_t, sin_t, dphi_pix, sinhd,
                  mask) = hpx.disc_candidates(NSIDE, theta_h, phi_h, rad_h,
                                              K_ring, K_phi, dt)
-                chord = jnp.sqrt(jnp.clip(2.0 - 2.0 * cosd, 0.0, None))
+                chord = 2.0 * sinhd
                 r_sep = chord * D_h.astype(dt)
                 r_com = r_sep / a_h.astype(dt)
 

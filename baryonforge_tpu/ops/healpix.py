@@ -81,6 +81,45 @@ def ring_above(nside, z):
     return jnp.where(polar, ring_pol, ring_eq)
 
 
+def ring_above_theta(nside, theta):
+    """``ring_above`` taking colatitude directly — pole-conditioned.
+
+    ``N sqrt(3 (1 - |z|))`` = ``sqrt(6) N sin(theta/2)`` (north) /
+    ``sqrt(6) N cos(theta/2)`` (south) exactly; the half-angle form avoids
+    the catastrophic ``1 - cos(theta)`` cancellation that breaks float32
+    near the poles for NSIDE >= ~2048 (cap ring spacing in z drops below
+    f32 eps)."""
+    N = nside
+    z = jnp.cos(theta)
+    polar = jnp.abs(z) > 2.0 / 3.0
+    rt6N = jnp.sqrt(jnp.asarray(6.0, theta.dtype)) * N
+    irn = jnp.floor(rt6N * jnp.sin(0.5 * theta)).astype(jnp.int32)
+    irs = jnp.floor(rt6N * jnp.cos(0.5 * theta)).astype(jnp.int32)
+    ring_pol = jnp.where(z > 0, irn, 4 * N - irs - 1)
+    ring_eq = jnp.floor(N * (2.0 - 1.5 * z)).astype(jnp.int32)
+    return jnp.where(polar, ring_pol, ring_eq)
+
+
+def ring_theta(nside, i, dtype=jnp.float64):
+    """Colatitude of ring ``i``, pole-conditioned.
+
+    Cap rings evaluate ``2 arcsin(i / (sqrt(6) N))`` (exactly
+    ``arccos(1 - i^2/(3 N^2))``) so float32 keeps full relative precision
+    at the poles instead of the ~sqrt(eps) noise of arccos near +-1."""
+    N = nside
+    north = i < N
+    south = i > 3 * N
+    i_f = i.astype(dtype)
+    i_sf = (4 * N - i).astype(dtype)
+    rt6N = jnp.sqrt(jnp.asarray(6.0, dtype)) * N
+    th_n = 2.0 * jnp.arcsin(jnp.clip(i_f / rt6N, 0.0, 1.0))
+    th_s = jnp.pi - 2.0 * jnp.arcsin(jnp.clip(i_sf / rt6N, 0.0, 1.0))
+    z_e = 4.0 / 3.0 - 2.0 * i_f / (3.0 * N)
+    th_e = jnp.arccos(jnp.clip(z_e, -1.0, 1.0))
+    return jnp.where(north, th_n,
+                     jnp.where(south, th_s, th_e)).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # pix <-> ang / vec
 # ---------------------------------------------------------------------------
@@ -100,7 +139,8 @@ def pix2ang(nside, p, dtype=jnp.float64):
     i_n = jnp.where(2 * i_n * (i_n - 1) > p, i_n - 1, i_n)
     i_n = jnp.where(2 * i_n * (i_n + 1) <= p, i_n + 1, i_n)
     j_n = p - 2 * i_n * (i_n - 1)
-    z_n = 1.0 - i_n.astype(dtype) ** 2 / (3.0 * N ** 2)
+    rt6N = jnp.sqrt(jnp.asarray(6.0, dtype)) * N
+    th_n = 2.0 * jnp.arcsin(jnp.clip(i_n.astype(dtype) / rt6N, 0.0, 1.0))
     phi_n = (jnp.pi / (2.0 * i_n.astype(dtype))) * (j_n + 0.5)
 
     # equatorial belt
@@ -118,15 +158,17 @@ def pix2ang(nside, p, dtype=jnp.float64):
     i_ss = jnp.where(2 * i_ss * (i_ss + 1) <= ps, i_ss + 1, i_ss)
     j_ss = ps - 2 * i_ss * (i_ss - 1)
     j_s = 4 * i_ss - 1 - j_ss
-    z_s = -1.0 + i_ss.astype(dtype) ** 2 / (3.0 * N ** 2)
+    th_s = jnp.pi - 2.0 * jnp.arcsin(
+        jnp.clip(i_ss.astype(dtype) / rt6N, 0.0, 1.0))
     phi_s = (jnp.pi / (2.0 * i_ss.astype(dtype))) * (j_s + 0.5)
 
     north = p < ncap
     south = p >= npx - ncap
-    z = jnp.where(north, z_n, jnp.where(south, z_s, z_e)).astype(dtype)
+    th_e = jnp.arccos(jnp.clip(z_e, -1.0, 1.0))
+    theta = jnp.where(north, th_n,
+                      jnp.where(south, th_s, th_e)).astype(dtype)
     phi = jnp.where(north, phi_n,
                     jnp.where(south, phi_s, phi_e)).astype(dtype)
-    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
     return theta, phi
 
 
@@ -159,9 +201,11 @@ def ang2pix(nside, theta, phi):
     ip = jnp.mod(ip, 4 * N)
     pix_eq = ncap + (ir - 1) * 4 * N + ip
 
-    # --- polar caps
+    # --- polar caps (half-angle form: pole-conditioned in float32)
     tp = tt - jnp.floor(tt)
-    tmp = N * jnp.sqrt(3.0 * (1.0 - za))
+    rt6N = jnp.sqrt(jnp.asarray(6.0, z.dtype)) * N
+    tmp = jnp.where(z > 0, rt6N * jnp.sin(0.5 * theta),
+                    rt6N * jnp.cos(0.5 * theta))
     jp_c = jnp.floor(tp * tmp).astype(jnp.int32)
     jm_c = jnp.floor((1.0 - tp) * tmp).astype(jnp.int32)
     ir_c = jp_c + jm_c + 1
@@ -208,7 +252,7 @@ def _ring_phi_neighbors(nside, ring, phi, dtype=jnp.float64):
     i2 = i1 + 1
     i1 = jnp.mod(i1, nr)
     i2 = jnp.mod(i2, nr)
-    theta_ring = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    theta_ring = ring_theta(nside, ring, dtype)
     return sp + i1, sp + i2, w, theta_ring
 
 
@@ -223,8 +267,7 @@ def get_interp_weights(nside, theta, phi, dtype=jnp.float64):
     N = nside
     theta = jnp.asarray(theta, dtype=dtype)
     phi = jnp.mod(jnp.asarray(phi), 2.0 * jnp.pi).astype(dtype)
-    z = jnp.cos(theta)
-    ir1 = ring_above(N, z)
+    ir1 = ring_above_theta(N, theta)
     ir2 = ir1 + 1
 
     # ring data — clamp to valid rings; the pole branches overwrite later
@@ -338,10 +381,13 @@ def disc_candidates(nside, theta0, phi0, radius, K_ring, K_phi,
                     dtype=jnp.float64):
     """Padded disc query returning pixel ids AND their geometry.
 
-    Returns (pix, cos_t, sin_t, dphi_pix, cosd, mask), all (K_ring*K_phi,):
+    Returns (pix, cos_t, sin_t, dphi_pix, sinhd, mask), (K_ring*K_phi,):
       cos_t/sin_t  : pixel-center cos/sin colatitude
       dphi_pix     : pixel phi minus phi0
-      cosd         : cosine of the angular distance to (theta0, phi0)
+      sinhd        : sin(d/2) of the angular distance d to (theta0, phi0)
+                     via the haversine formula — well-conditioned in f32
+                     for small separations, unlike 1 - cos(d) whose
+                     cancellation puts ~10% noise on 1-pixel separations
       mask         : true disc members
     Scalar halo inputs only (vmap over halos).
     """
@@ -349,13 +395,15 @@ def disc_candidates(nside, theta0, phi0, radius, K_ring, K_phi,
     theta0 = jnp.asarray(theta0, dtype=dtype)
     phi0 = jnp.asarray(phi0, dtype=dtype)
     radius = jnp.asarray(radius, dtype=dtype)
-    z_top = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
-    ring_top = jnp.clip(ring_above(N, z_top), 0, 4 * N - 1)
+    ring_top = jnp.clip(
+        ring_above_theta(N, jnp.maximum(theta0 - radius, 0.0)),
+        0, 4 * N - 1)
     rings = ring_top + 1 + jnp.arange(K_ring, dtype=jnp.int32)
     ring_ok = (rings >= 1) & (rings <= 4 * N - 1)
     rings_c = jnp.clip(rings, 1, 4 * N - 1)
 
-    sp, nr, zr, shifted = ring_info(N, rings_c, dtype)
+    sp, nr, _, shifted = ring_info(N, rings_c, dtype)
+    theta_r = ring_theta(N, rings_c, dtype)
     dphi = 2.0 * jnp.pi / nr
     jc = jnp.round(phi0 / dphi - 0.5 * shifted).astype(jnp.int32)
     dp = jnp.arange(K_phi, dtype=jnp.int32) - (K_phi - 1) // 2
@@ -366,17 +414,21 @@ def disc_candidates(nside, theta0, phi0, radius, K_ring, K_phi,
     jw = jnp.mod(jj, nr[:, None])
     pix = sp[:, None] + jw                             # (K_ring, K_phi)
 
-    cos_t = jnp.clip(zr, -1.0, 1.0)[:, None] + jnp.zeros_like(dphi[:, None]
-                                                              * dp[None, :])
-    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t ** 2, 0.0, 1.0))
+    cos_t = jnp.broadcast_to(jnp.cos(theta_r)[:, None],
+                             (K_ring, K_phi))
+    sin_t = jnp.broadcast_to(jnp.sin(theta_r)[:, None],
+                             (K_ring, K_phi))
     phi_pix = (jw + 0.5 * shifted[:, None]) * dphi[:, None]
     dphi_pix = phi_pix - phi0
-    cosd = (cos_t * jnp.cos(theta0)
-            + sin_t * jnp.sin(theta0) * jnp.cos(dphi_pix))
-    member = cosd >= jnp.cos(radius)
+    # haversine: sin^2(d/2) = sin^2(dtheta/2) + sin t sin t0 sin^2(dphi/2)
+    sdt = jnp.sin(0.5 * (theta_r[:, None] - theta0))
+    sdp = jnp.sin(0.5 * dphi_pix)
+    hav = sdt ** 2 + sin_t * jnp.sin(theta0) * sdp ** 2
+    sinhd = jnp.sqrt(jnp.clip(hav, 0.0, 1.0))
+    member = sinhd <= jnp.sin(0.5 * radius)
     mask = member & no_dup & ring_ok[:, None]
     return (pix.reshape(-1), cos_t.reshape(-1), sin_t.reshape(-1),
-            dphi_pix.reshape(-1), cosd.reshape(-1), mask.reshape(-1))
+            dphi_pix.reshape(-1), sinhd.reshape(-1), mask.reshape(-1))
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))

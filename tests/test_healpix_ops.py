@@ -138,3 +138,35 @@ def test_disc_near_pole():
                       np.sin(theta0) * np.sin(1.0), np.cos(theta0)])
         want = np.where(allvec @ c >= np.cos(0.3))[0]
         np.testing.assert_array_equal(got, want)
+
+
+def test_f32_pole_conditioning_nside4096():
+    # at NSIDE>=2048 the cap ring spacing in z drops below f32 eps; the
+    # half-angle (sin(theta/2)) formulations must keep f32 results finite
+    # and consistent with f64 near the poles
+    nside = 4096
+    rng = np.random.default_rng(12)
+    n = 400
+    # points concentrated at both poles + a few belt points
+    theta = np.concatenate([10 ** rng.uniform(-5, -1, n // 2),
+                            np.pi - 10 ** rng.uniform(-5, -1, n // 2)])
+    phi = rng.uniform(0, 2 * np.pi, n)
+    p32, w32 = hpx.get_interp_weights(nside, jnp.array(theta, jnp.float32),
+                                      jnp.array(phi, jnp.float32),
+                                      jnp.float32)
+    p64, w64 = hpx.get_interp_weights(nside, jnp.array(theta),
+                                      jnp.array(phi), jnp.float64)
+    w32, w64 = np.asarray(w32), np.asarray(w64)
+    assert np.isfinite(w32).all()
+    np.testing.assert_allclose(w32.sum(axis=1), 1.0, atol=1e-5)
+    # the 4 neighbours agree with f64 for nearly all points (floor can
+    # legitimately flip on exact ring boundaries)
+    same = (np.asarray(p32) == np.asarray(p64)).all(axis=1)
+    assert same.mean() > 0.97
+    # pixel round trip at the pole rings in f32
+    p = jnp.arange(0, 64, dtype=jnp.int32)          # first pole rings
+    t32, f32 = hpx.pix2ang(nside, p, jnp.float32)
+    t64, _ = hpx.pix2ang(nside, p, jnp.float64)
+    np.testing.assert_allclose(np.asarray(t32), np.asarray(t64), rtol=3e-6)
+    back = np.asarray(hpx.ang2pix(nside, t32, f32))
+    assert (back == np.asarray(p)).mean() > 0.95
