@@ -10,6 +10,7 @@ from .Cache import SimpleArrayCache, CachedProfile, CachedHODProfile
 from .misc import (safe_Pchip_minimize, destory_Pk, destroy_Pk,
                    combine_fftpars, log_time)
 from . import debug
+from .fitsio import read_healpix_fits, write_healpix_fits
 from .Parallelize import SimpleParallel, SplitJoinParallel
 from . import halomodel
 from .halomodel import FlexibleHMCalculator

@@ -105,8 +105,12 @@ class LightconeShell:
 
     def __init__(self, map=None, cosmo=None, redshift=None, path=None):
         if map is None and path is not None:
-            map = np.load(path)
-        assert map is not None, "provide map array (or path to .npy)"
+            if str(path).lower().endswith((".fits", ".fit", ".fits.gz")):
+                from .fitsio import read_healpix_fits
+                map = read_healpix_fits(path)
+            else:
+                map = np.load(path)
+        assert map is not None, "provide map array (or path to .npy/.fits)"
         self.map = np.asarray(map, dtype=np.float64)
         nside = int(np.sqrt(self.map.size / 12))
         assert 12 * nside * nside == self.map.size, \

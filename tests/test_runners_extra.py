@@ -171,3 +171,22 @@ def test_models_are_pickleable():
     r = np.geomspace(0.1, 10, 8)
     np.testing.assert_allclose(np.asarray(model.displacement(r, 1e14, 0.8)),
                                np.asarray(m2.displacement(r, 1e14, 0.8)))
+
+
+def test_fits_roundtrip(tmp_path):
+    # native FITS writer/reader round-trips a HEALPix map and feeds
+    # LightconeShell(path=...) (reference loads via hp.read_map,
+    # io.py:341-363)
+    from baryonforge_tpu.utils.fitsio import (read_healpix_fits,
+                                              write_healpix_fits)
+    rng = np.random.default_rng(2)
+    m = rng.exponential(1.0, 12 * 16 * 16)
+    p = str(tmp_path / "shell.fits")
+    write_healpix_fits(p, m)
+    back = read_healpix_fits(p)
+    np.testing.assert_allclose(back, m, rtol=2e-7)     # f32 storage
+    write_healpix_fits(p, m, dtype=">f8")
+    np.testing.assert_array_equal(read_healpix_fits(p), m)
+    shell = utils.LightconeShell(path=p, cosmo=COSMO_DICT)
+    assert shell.NSIDE == 16
+    np.testing.assert_array_equal(shell.map, m)
