@@ -186,9 +186,19 @@ class DefaultRunner:
             self._compiled[pkey] = prepared
 
         acc_total = None
-        for (K_ring, K_phi, batches) in prepared:
+        for gi, (K_ring, K_phi, batches) in enumerate(prepared):
+            if self.verbose:
+                import sys as _sys
+                import time as _time
+                t0 = _time.time()
             body = make_body(K_ring, K_phi)
             acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype)
+            if self.verbose:
+                nb, bsz = batches[0].shape[:2]
+                print(f"[baryonforge] bucket {gi + 1}/{len(prepared)}: "
+                      f"window {K_ring}x{K_phi}, {nb}x{bsz} halos, "
+                      f"{_time.time() - t0:.2f}s (incl. first-call "
+                      f"compile)", file=_sys.stderr)
             acc_total = acc if acc_total is None else acc_total + acc
         return acc_total
 
