@@ -379,8 +379,16 @@ class BaryonifyShell(DefaultRunner):
                 pix, delta = jax.vmap(one_halo)(theta_b, phi_b, rad_b, M_b,
                                                 a_b, D_b, valid_b,
                                                 *extras_b)
-                return acc.at[pix.reshape(-1)].add(
-                    delta.reshape(-1, 2)), None
+                # the accumulator is FLAT (2*(npix+1),): theta components
+                # at [pix], phi components at [npix+1+pix]. TPU scatter of
+                # (n, 2) rows is ~6x slower per row than 1-wide updates
+                # (measured), so two 1-wide scatters beat one row scatter
+                # by ~3.5x even at twice the update count.
+                pixf = pix.reshape(-1)
+                d = delta.reshape(-1, 2)
+                idx = jnp.concatenate([pixf, pixf + (npix + 1)])
+                upd = jnp.concatenate([d[:, 0], d[:, 1]])
+                return acc.at[idx].add(upd), None
             return body
 
         return make_body
@@ -570,8 +578,10 @@ class BaryonifyShell(DefaultRunner):
             self._compiled[hkey] = (hd, extras, curve_meta)
 
         make_body = self._make_body_factory(NSIDE, npix, keys, curve_meta)
-        pix_offsets = self._bucketed_accumulate(
-            make_body, hd, extras, (npix + 1, 2), self.dtype, NSIDE)[:npix]
+        acc = self._bucketed_accumulate(
+            make_body, hd, extras, (2 * (npix + 1),), self.dtype, NSIDE)
+        pix_offsets = jnp.stack([acc[:npix],
+                                 acc[npix + 1:2 * npix + 1]], axis=1)
 
         rdt = self.regrid_dtype
         ang_base = self._pixel_angles(NSIDE, npix, rdt)
@@ -616,10 +626,12 @@ class BaryonifyShell(DefaultRunner):
         ang_base = self._pixel_angles(NSIDE, npix, self.regrid_dtype)
 
         def fn(batches, ang_base, orig):
-            acc = jnp.zeros((npix + 1, 2), dtype=dt)
+            acc = jnp.zeros((2 * (npix + 1),), dtype=dt)
             acc, _ = jax.lax.scan(body, acc, batches)
+            po = jnp.stack([acc[:npix], acc[npix + 1:2 * npix + 1]],
+                           axis=1)
             return self._phase_b(NSIDE, npix, self.regrid_dtype,
-                                 ang_base, acc[:npix], orig)
+                                 ang_base, po, orig)
 
         return fn, (batches, ang_base, jnp.asarray(orig_map))
 
