@@ -248,6 +248,27 @@ class BaryonifyGrid(DefaultRunnerGrid):
             q_ell = np.asarray(cat["q_ell"], dtype=float)
             A_ell = np.asarray(cat["A_ell"], dtype=float)
 
+        # per-halo displacement-curve fast path (same as BaryonifyShell):
+        # interpolate the (z, M) table axes once per halo so the per-cell
+        # readout is a single log-uniform pair-gather lerp instead of the
+        # full N-D table interpolation
+        curve_meta = None
+        if hasattr(model, "halo_curves") and not keys:
+            try:
+                mcur = model
+                if dt == jnp.float32 and hasattr(model, "with_dtype"):
+                    mcur = model.with_dtype(dt)
+                curves, ln_r0, dlnr = mcur.halo_curves(
+                    M, np.full(M.shape, a))
+                Rcom = R / a
+                rscale = (1.0 / Rcom
+                          if getattr(model, "Rdelta_sampling", False)
+                          else np.ones_like(Rcom))
+                extras = extras + [np.asarray(curves), Rcom, rscale]
+                curve_meta = (float(ln_r0), float(dlnr))
+            except NotImplementedError:
+                curve_meta = None
+
         def make_body(Ns):
             def one_halo(M_h, cen_h, doff_h, valid_h, *o_rest):
                 inds, rel = self._cutout_geometry(
@@ -276,9 +297,23 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     r_grid = jnp.sqrt(gx ** 2 + gy ** 2 + gz ** 2)
                     hats = [gx / r_grid, gy / r_grid, gz / r_grid]
 
-                kw = {k: o for k, o in
-                      zip(keys, o_rest[:len(keys)])}
-                d = model.displacement(r_grid.reshape(-1), M_h, a, **kw)
+                r_flat = r_grid.reshape(-1)
+                if curve_meta is not None:
+                    from ..Profiles.BaryonCorrection import \
+                        BaryonificationClass as _BC
+                    ce = len(keys)
+                    curve_h, Rcom_h, rscale_h = o_rest[ce:ce + 3]
+                    ln_r0, dlnr = curve_meta
+                    r_safe = jnp.maximum(r_flat, 1e-30)
+                    d = _BC.curve_lookup(curve_h.astype(dt), ln_r0, dlnr,
+                                         r_safe * rscale_h.astype(dt))
+                    d = jnp.where(
+                        r_flat < self.epsilon_max * Rcom_h.astype(dt),
+                        d, 0.0)
+                else:
+                    kw = {k: o for k, o in
+                          zip(keys, o_rest[:len(keys)])}
+                    d = model.displacement(r_flat, M_h, a, **kw)
                 d = jnp.reshape(d, (-1,)).astype(dt) / res   # pixel units
                 d = jnp.where(jnp.isfinite(d), d, 0.0)
                 d = jnp.where(valid_h, d, 0.0)

@@ -196,7 +196,11 @@ class TabulatedProfile:
         x = (jnp.log(jnp.maximum(r, 1e-30)) - ln_r0) / dlnr
         i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_r - 2)
         t = x - i
-        out = jnp.exp(curve[i] * (1 - t) + curve[i + 1] * t)
+        # slice-2 pair gather (one gather per lookup; see
+        # BaryonCorrection.curve_lookup)
+        c2 = jnp.stack([curve[..., :-1], curve[..., 1:]], axis=-1)
+        pair = c2[i]
+        out = jnp.exp(pair[..., 0] * (1 - t) + pair[..., 1] * t)
         return jnp.where((x < 0) | (x > n_r - 1), 0.0, out)
 
 
