@@ -402,9 +402,23 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         model = self.model
         eps_max = self.epsilon_max
         use_ell = self.use_ellipticity
+        dt = self.dtype
         if use_ell:
             q_ell = np.asarray(cat["q_ell"], dtype=float)
             A_ell = np.asarray(cat["A_ell"], dtype=float)
+
+        # per-halo curve fast path (see BaryonifyShell._use_curves): one
+        # pair-gather lerp per cell instead of the N-D table readout
+        curve_meta = None
+        if hasattr(model, "halo_curves") and not keys:
+            try:
+                kind = "projected" if is2D else "real"
+                curves, ln_r0, dlnr = model.halo_curves(
+                    M, np.full(M.shape, a), kind=kind)
+                extras = extras + [np.asarray(curves)]
+                curve_meta = (float(ln_r0), float(dlnr))
+            except (NotImplementedError, AttributeError, KeyError):
+                curve_meta = None
 
         def make_body(Ns):
             def one_halo(M_h, R_h, cen_h, doff_h, valid_h, *o_rest):
@@ -423,8 +437,19 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                         r_grid = jnp.sqrt(xe ** 2 + ye ** 2)
                     else:
                         r_grid = jnp.sqrt(gx ** 2 + gy ** 2).reshape(-1)
-                    kw = {k: o for k, o in zip(keys, o_rest[:len(keys)])}
-                    paint = model.projected(cosmo, r_grid, M_h, a, **kw)
+                    if curve_meta is not None:
+                        from ..utils.Tabulate import \
+                            TabulatedProfile as _TP
+                        curve_h = o_rest[len(keys)]
+                        # projected curves store log(Sigma * a)
+                        paint = _TP.curve_lookup(
+                            curve_h.astype(dt), curve_meta[0],
+                            curve_meta[1], r_grid) / a
+                    else:
+                        kw = {k: o for k, o in
+                              zip(keys, o_rest[:len(keys)])}
+                        paint = model.projected(cosmo, r_grid, M_h, a,
+                                                **kw)
                 else:
                     gx = rel[0][:, None, None] + jnp.zeros((1, Ns, Ns))
                     gy = rel[1][None, :, None] + jnp.zeros((Ns, 1, Ns))
@@ -434,8 +459,17 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             + inds[2][None, None, :]).reshape(-1)
                     r_grid = jnp.sqrt(gx ** 2 + gy ** 2
                                       + gz ** 2).reshape(-1)
-                    kw = {k: o for k, o in zip(keys, o_rest[:len(keys)])}
-                    paint = model.real(cosmo, r_grid, M_h, a, **kw)
+                    if curve_meta is not None:
+                        from ..utils.Tabulate import \
+                            TabulatedProfile as _TP
+                        curve_h = o_rest[len(keys)]
+                        paint = _TP.curve_lookup(
+                            curve_h.astype(dt), curve_meta[0],
+                            curve_meta[1], r_grid)
+                    else:
+                        kw = {k: o for k, o in
+                              zip(keys, o_rest[:len(keys)])}
+                        paint = model.real(cosmo, r_grid, M_h, a, **kw)
 
                 paint = jnp.reshape(paint, r_grid.shape)
                 mask = jnp.isfinite(paint) & (r_grid < R_h * eps_max) \

@@ -86,4 +86,7 @@ def test_baryonification_suppresses_pk():
     mid = (k0 > 0.6) & (k0 < 2.0)
     assert ratio[mid].min() < 0.99, f"no suppression seen: {ratio[mid]}"
     # suppression is percent-level, not catastrophic
-    assert ratio.min() > 0.5
+    # skip bin 0: it contains only the DC mode, which is exactly zero
+    # after mean removal — its "power" is float roundoff and the ratio of
+    # two roundoffs is meaningless
+    assert ratio[1:].min() > 0.5
