@@ -57,7 +57,7 @@ class DefaultRunnerGrid:
                  use_ellipticity=False, mass_def=_massdef.MassDef200c,
                  include_pixel_size=True, verbose=True, halo_batch=256,
                  dtype=jnp.float32, mesh=None, n_size_buckets=4,
-                 pixel_budget=8_000_000):
+                 pixel_budget=8_000_000, regrid_dtype=jnp.float64):
         self.HaloNDCatalog = HaloNDCatalog
         self.GriddedMap = GriddedMap
         self.cosmo = HaloNDCatalog.cosmology
@@ -72,6 +72,9 @@ class DefaultRunnerGrid:
         self.mesh = mesh
         self.n_size_buckets = n_size_buckets
         self.pixel_budget = pixel_budget
+        # float64 deposits are exact but EMULATED on TPU (~5-10x slower
+        # at big grids); float32 keeps mass conservation to ~1e-7 relative
+        self.regrid_dtype = regrid_dtype
         # compiled-kernel cache: closures are rebuilt on every process()
         # call, so jit identity alone would recompile each time; we key
         # compiled executables by static shape info instead
@@ -348,26 +351,29 @@ class BaryonifyGrid(DefaultRunnerGrid):
                                  for d in range(ndim)], axis=1)
 
         # regrid: integer lattice + offsets -> conservative deposit
+        rdt = self.regrid_dtype
+
         def regrid(pix_offsets, orig_flat):
             po = jnp.where(jnp.isfinite(pix_offsets), pix_offsets, 0.0)
-            po = po.astype(jnp.float64)
+            po = po.astype(rdt)
+            orig_flat = orig_flat.astype(rdt)
             if is2D:
                 ii = jnp.arange(Npix)
                 base = jnp.stack(
                     [jnp.repeat(ii, Npix), jnp.tile(ii, Npix)], axis=1)
-                new = deposit_2d(jnp.zeros((Npix, Npix)), base + po,
-                                 orig_flat)
+                new = deposit_2d(jnp.zeros((Npix, Npix), dtype=rdt),
+                                 base + po, orig_flat)
             else:
                 ii = jnp.arange(Npix)
                 bx = jnp.repeat(ii, Npix * Npix)
                 by = jnp.tile(jnp.repeat(ii, Npix), Npix)
                 bz = jnp.tile(ii, Npix * Npix)
                 base = jnp.stack([bx, by, bz], axis=1)
-                new = deposit_3d(jnp.zeros((Npix,) * 3), base + po,
-                                 orig_flat)
+                new = deposit_3d(jnp.zeros((Npix,) * 3, dtype=rdt),
+                                 base + po, orig_flat)
             return new
 
-        rkey = ("regrid", Npix, is2D)
+        rkey = ("regrid", Npix, is2D, str(rdt))
         if rkey not in self._compiled:
             self._compiled[rkey] = jax.jit(regrid)
         new_map = np.asarray(
