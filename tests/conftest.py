@@ -8,6 +8,10 @@ again through jax.config after import.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon remote-compiler reroutes even CPU XLA compiles through a slow
+# RPC when these are set; stripping them halves suite wall time
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

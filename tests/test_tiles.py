@@ -1,0 +1,99 @@
+"""Tile partition correctness: the tiling must be a disjoint cover of the
+sphere with consistent forward (slot_pixels) and inverse (slot_index)
+maps, and the halo binning must cover every tile a disc's pixels land in.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from baryonforge_tpu.ops import healpix as hpx
+from baryonforge_tpu.ops.tiles import (SkyTiling, bin_halos_to_tiles,
+                                       bucket_tiles)
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("nside", [8, 64, 256])
+def test_partition_and_inverse(nside):
+    t = SkyTiling(nside, ring_block=8, seg_slots=18)
+    npix = 12 * nside * nside
+
+    # forward: enumerate every tile's slots
+    cover = np.full(npix, -1, dtype=np.int64)
+    for tid in range(t.n_tiles):
+        pix, phi, valid, _ = t.slot_pixels(
+            jnp.asarray(t.tile_i0[tid]), jnp.asarray(t.tile_s[tid]),
+            jnp.asarray(t.tile_S[tid]))
+        pixv = np.asarray(pix)[np.asarray(valid)]
+        assert np.all(cover[pixv] == -1), "tile overlap"
+        cover[pixv] = tid
+    assert np.all(cover >= 0), "tiles do not cover the sphere"
+
+    # inverse: slot_index round trip for every pixel
+    p = np.arange(npix)
+    lin = np.asarray(t.slot_index(jnp.asarray(p)))
+    assert lin.min() >= 0 and lin.max() < t.n_tiles * t.RB * t.K
+    assert np.unique(lin).size == npix, "slot_index not injective"
+    # the tile implied by the linear index matches the forward cover
+    tid_of = lin // (t.RB * t.K)
+    assert np.array_equal(tid_of, cover)
+
+
+def test_slot_phi_matches_pix2ang():
+    nside = 64
+    t = SkyTiling(nside, ring_block=8, seg_slots=18)
+    for tid in [0, t.n_tiles // 3, t.n_tiles - 1]:
+        pix, phi, valid, theta_r = t.slot_pixels(
+            jnp.asarray(t.tile_i0[tid]), jnp.asarray(t.tile_s[tid]),
+            jnp.asarray(t.tile_S[tid]))
+        v = np.asarray(valid)
+        th_ref, ph_ref = hpx.pix2ang(nside, np.asarray(pix)[v])
+        np.testing.assert_allclose(np.asarray(phi)[v], np.asarray(ph_ref),
+                                   rtol=0, atol=1e-12)
+        th_grid = np.broadcast_to(np.asarray(theta_r)[:, None],
+                                  v.shape)[v]
+        np.testing.assert_allclose(th_grid, np.asarray(th_ref), atol=1e-12)
+
+
+def test_halo_binning_covers_disc_pixels():
+    nside = 128
+    t = SkyTiling(nside, ring_block=8, seg_slots=18)
+    n = 60
+    theta = np.arccos(RNG.uniform(-1, 1, n))
+    phi = RNG.uniform(0, 2 * np.pi, n)
+    radius = RNG.uniform(0.01, 0.3, n)
+    # include pole-hugging halos
+    theta[:4] = [0.005, 0.01, np.pi - 0.005, np.pi - 0.02]
+
+    tiles, halos = bin_halos_to_tiles(t, theta, phi, radius)
+    pair_set = set(zip(tiles.tolist(), halos.tolist()))
+
+    # brute force: disc pixels via angular distance on all pixels
+    npix = 12 * nside * nside
+    th_p, ph_p = (np.asarray(x) for x in
+                  hpx.pix2ang(nside, np.arange(npix)))
+    vec_p = np.stack([np.sin(th_p) * np.cos(ph_p),
+                      np.sin(th_p) * np.sin(ph_p), np.cos(th_p)], axis=1)
+    lin = np.asarray(t.slot_index(jnp.asarray(np.arange(npix))))
+    tile_of = lin // (t.RB * t.K)
+    for h in range(n):
+        vh = np.array([np.sin(theta[h]) * np.cos(phi[h]),
+                       np.sin(theta[h]) * np.sin(phi[h]),
+                       np.cos(theta[h])])
+        cosd = vec_p @ vh
+        inside = cosd >= np.cos(radius[h])
+        for tid in np.unique(tile_of[inside]):
+            assert (tid, h) in pair_set, (
+                f"halo {h} disc touches tile {tid} but was not binned")
+
+
+def test_bucket_tiles_roundtrip():
+    tiles = np.array([3, 3, 3, 7, 7, 9, 9, 9, 9, 9, 9, 9, 9, 9])
+    halos = np.arange(tiles.size)
+    buckets = bucket_tiles(tiles, halos, h_align=4)
+    got = {}
+    for tid_arr, hidx in buckets:
+        for trow, hrow in zip(tid_arr, hidx):
+            got[int(trow)] = sorted(int(x) for x in hrow if x >= 0)
+    assert got == {3: [0, 1, 2], 7: [3, 4], 9: list(range(5, 14))}
