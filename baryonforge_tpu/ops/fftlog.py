@@ -13,6 +13,13 @@ on a periodic log grid and use the analytic Mellin pair
 int_0^inf x^s J_mu(k x) dx = k^-(s+1) 2^s Gamma((mu+1+s)/2)/Gamma((mu+1-s)/2).
 
 Everything is jit-friendly: static shapes, no data-dependent control flow.
+
+TPU note: XLA:TPU has no complex128 FFT (and complex64 would lose the
+precision the displacement tables need), so the whole pipeline is written
+in explicit (re, im) float64 *pair* arithmetic, and the DFTs are matmuls
+against precomputed cos/sin matrices. The grids here are short (N <= ~2k),
+so the O(N^2) matmul is both faster than an emulated FFT would be and lands
+on the MXU; f64 runs on TPU via XLA's software emulation.
 """
 
 import jax
@@ -43,43 +50,133 @@ _LANCZOS_COEF = np.array([
 ])
 
 
-def _loggamma_positive(z):
-    """log Gamma(z) for Re(z) > 0.5 via Lanczos."""
-    z = z - 1.0
-    x = jnp.full(z.shape, _LANCZOS_COEF[0], dtype=z.dtype)
+# --- complex pair arithmetic: every value is a (re, im) tuple of f64 ------
+def _cmul(a, b):
+    ar, ai = a
+    br, bi = b
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cdiv(a, b):
+    ar, ai = a
+    br, bi = b
+    d = br * br + bi * bi
+    return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+
+def _clog(a):
+    ar, ai = a
+    return 0.5 * jnp.log(ar * ar + ai * ai), jnp.arctan2(ai, ar)
+
+
+def _cexp(a):
+    ar, ai = a
+    e = jnp.exp(ar)
+    return e * jnp.cos(ai), e * jnp.sin(ai)
+
+
+def _csin(a):
+    ar, ai = a
+    return jnp.sin(ar) * jnp.cosh(ai), jnp.cos(ar) * jnp.sinh(ai)
+
+
+def _log_sin_pi(zr, zi):
+    """log(sin(pi (zr + i zi))), overflow-safe for large |zi|.
+
+    The naive sin formula needs cosh/sinh(pi zi), which overflows for
+    |zi| >~ 230 in IEEE f64 and far earlier on TPU (f64 emulation has a
+    reduced exponent range). For |zi| > 1 use the asymptotic-exact form
+      log sin(pi z) = pi|zi| - ln 2 + i sgn(zi)(pi/2 - pi zr)
+                      + log(1 - e^{2 i pi zr - 2 pi |zi|})
+    whose correction term is tiny and cancellation-free.
+    """
+    zia = jnp.abs(zi)
+    big = zia > 1.0
+    # stable branch
+    e = jnp.exp(-2.0 * jnp.pi * zia)
+    l1r, l1i = _clog((1.0 - e * jnp.cos(2.0 * jnp.pi * zr),
+                      -e * jnp.sin(2.0 * jnp.pi * zr)))
+    sr_b = jnp.pi * zia - np.log(2.0) + l1r
+    si_b = (0.5 * jnp.pi - jnp.pi * zr) + l1i
+    # direct branch (argument clamped so the unselected lane can't overflow)
+    zi_c = jnp.clip(zi, -2.0, 2.0)
+    dr, di = _clog(_csin((jnp.pi * zr, jnp.pi * zi_c)))
+    return (jnp.where(big, sr_b, dr),
+            jnp.where(big, jnp.sign(zi) * si_b, di))
+
+
+def _loggamma_pair(zr, zi):
+    """Principal-branch log Gamma of zr + i zi via Lanczos + reflection.
+
+    Pure real f64 arithmetic (TPU-safe). Not valid exactly at non-positive
+    integers (poles), which never occur for FFTLog kernel arguments.
+    """
+    reflect = zr < 0.5
+    sr = jnp.where(reflect, 1.0 - zr, zr)
+    si = jnp.where(reflect, -zi, zi)
+    # Lanczos on z - 1
+    wr, wi = sr - 1.0, si
+    xr = jnp.full(jnp.shape(wr), _LANCZOS_COEF[0], dtype=jnp.float64)
+    xi = jnp.zeros_like(xr)
     for i in range(1, 9):
-        x = x + _LANCZOS_COEF[i] / (z + i)
-    t = z + _LANCZOS_G + 0.5
-    return 0.5 * jnp.log(2.0 * jnp.pi) + (z + 0.5) * jnp.log(t) - t + jnp.log(x)
+        dr, di = _cdiv((jnp.float64(_LANCZOS_COEF[i]), 0.0), (wr + i, wi))
+        xr, xi = xr + dr, xi + di
+    tr, ti = wr + _LANCZOS_G + 0.5, wi
+    ltr, lti = _clog((tr, ti))
+    lxr, lxi = _clog((xr, xi))
+    lgr = 0.5 * np.log(2.0 * np.pi) + (wr + 0.5) * ltr - ti * lti - tr + lxr
+    lgi = (wr + 0.5) * lti + ti * ltr - ti + lxi
+    # reflection: log Gamma(z) = log pi - log sin(pi z) - log Gamma(1 - z)
+    lsr, lsi = _log_sin_pi(zr, zi)
+    rr = np.log(np.pi) - lsr - lgr
+    ri = -lsi - lgi
+    return (jnp.where(reflect, rr, lgr), jnp.where(reflect, ri, lgi))
 
 
 def loggamma(z):
-    """Principal-branch log Gamma for complex z (vectorized, jit-safe).
-
-    Uses reflection for Re(z) < 0.5. Not valid exactly at non-positive
-    integers (poles), which never occur for FFTLog kernel arguments.
-    """
+    """Principal-branch log Gamma for complex z (vectorized, jit-safe)."""
     z = jnp.asarray(z, dtype=jnp.complex128)
-    reflect = jnp.real(z) < 0.5
-    z_safe = jnp.where(reflect, 1.0 - z, z)
-    lg = _loggamma_positive(z_safe)
-    # log Gamma(z) = log(pi / sin(pi z)) - log Gamma(1 - z)
-    refl_val = jnp.log(jnp.pi) - jnp.log(jnp.sin(jnp.pi * z)) - lg
-    return jnp.where(reflect, refl_val, lg)
+    re, im = _loggamma_pair(jnp.real(z), jnp.imag(z))
+    return re + 1j * im
+
+
+# ---------------------------------------------------------------------------
+# Matmul DFT (TPU-safe complex-pair FFT replacement; N is small and static)
+# ---------------------------------------------------------------------------
+def _dft_mats(N):
+    """cos/sin DFT matrices W[j, m] = cos/sin(2 pi j m / N), exact phases."""
+    j = jnp.arange(N, dtype=jnp.int64)
+    jm = (j[:, None] * j[None, :]) % N          # exact integer phase index
+    phase = (2.0 * jnp.pi / N) * jm.astype(jnp.float64)
+    return jnp.cos(phase), jnp.sin(phase)
+
+
+def _dft_pair(re, im, Wc, Ws):
+    """out_m = sum_j z_j exp(-2 pi i j m / N) — matches jnp.fft.fft."""
+    if im is None:
+        return re @ Wc, -(re @ Ws)
+    return re @ Wc + im @ Ws, im @ Wc - re @ Ws
 
 
 # ---------------------------------------------------------------------------
 # Core discrete Hankel transform on a log grid
 # ---------------------------------------------------------------------------
-def _u_coefficients(N, dln, mu, q, k0x0):
-    """Kernel coefficients d-multiplier: U_mu(q + i w_m) (k0 x0)^(-i w_m)."""
+def _u_coefficients(N, dln, mu, q, ln_k0x0):
+    """Kernel coefficients: U_mu(q + i w_m) (k0 x0)^(-i w_m), as a pair.
+
+    ``ln_k0x0`` is log(k0 x0) — passed in log space because the phase
+    omega * ln(k0 x0) reaches thousands of radians and needs the full f64
+    log. (TPU computes *scalar* f64 transcendentals at ~f32 precision —
+    only array-shaped ops run the accurate vector path — so callers must
+    derive this from an array log.)
+    """
     m = jnp.fft.fftfreq(N) * N                      # signed integer freqs
     omega = 2.0 * jnp.pi * m / (N * dln)
-    s = q + 1j * omega
-    U = jnp.exp(s * jnp.log(2.0)
-                + loggamma((mu + 1.0 + s) / 2.0)
-                - loggamma((mu + 1.0 - s) / 2.0))
-    return U * jnp.exp(-1j * omega * jnp.log(k0x0))
+    g1r, g1i = _loggamma_pair((mu + 1.0 + q) / 2.0 + 0 * omega, omega / 2.0)
+    g2r, g2i = _loggamma_pair((mu + 1.0 - q) / 2.0 + 0 * omega, -omega / 2.0)
+    er = q * np.log(2.0) + g1r - g2r
+    ei = omega * np.log(2.0) + g1i - g2i - omega * ln_k0x0
+    return _cexp((er, ei))
 
 
 def _safe_q(mu, q, eps=1e-4):
@@ -102,17 +199,26 @@ def fht(x, a, mu, q=0.0, kcrc=1.0):
     """
     N = x.shape[0]
     q = _safe_q(mu, q)
-    dln = jnp.log(x[1] / x[0])
-    x0 = x[0]
-    k0 = kcrc / x[-1]
+    # ALL log-space scalars must come from an array log: TPU scalar f64
+    # transcendentals run at ~f32 precision and the FFTLog phase
+    # omega * ln(k0 x0) (thousands of radians) amplifies that to O(1e-6)
+    # errors in the kernel coefficients.
+    lx = jnp.log(x)
+    dln = (lx[-1] - lx[0]) / (N - 1)
+    if isinstance(kcrc, (int, float)):
+        ln_kcrc = np.log(kcrc)                   # host f64: exact
+    else:
+        ln_kcrc = jnp.log(jnp.reshape(kcrc, (1,)))[0]
+    ln_k0x0 = ln_kcrc - lx[-1] + lx[0]
     j = jnp.arange(N)
-    k = k0 * jnp.exp(j * dln)
+    k = jnp.exp(ln_kcrc - lx[-1] + j * dln)
 
-    b = a * (x / x0) ** (-q)
-    c = jnp.fft.fft(b.astype(jnp.complex128)) / N
-    d = c * _u_coefficients(N, dln, mu, q, k0 * x0)
-    out = jnp.fft.fft(d)
-    atilde = (k0 * x0) ** (-q) * jnp.exp(-q * j * dln) * jnp.real(out)
+    Wc, Ws = _dft_mats(N)
+    b = (a * jnp.exp(-q * (lx - lx[0]))).astype(jnp.float64)
+    cr, ci = _dft_pair(b, None, Wc, Ws)
+    dr, di = _cmul((cr / N, ci / N), _u_coefficients(N, dln, mu, q, ln_k0x0))
+    out_re, _ = _dft_pair(dr, di, Wc, Ws)
+    atilde = jnp.exp(-q * (ln_k0x0 + j * dln)) * out_re
     return k, atilde
 
 
