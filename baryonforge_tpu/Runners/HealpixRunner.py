@@ -44,7 +44,7 @@ class DefaultRunner:
                  mass_def=_massdef.MassDef200c, include_pixel_size=False,
                  verbose=True, halo_batch=4096, dtype=jnp.float32,
                  mesh=None, n_size_buckets=4, pixel_budget=4_000_000,
-                 regrid_dtype=jnp.float64):
+                 regrid_dtype=jnp.float64, deposit="auto"):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -64,6 +64,10 @@ class DefaultRunner:
         self.n_size_buckets = n_size_buckets
         self.pixel_budget = pixel_budget
         self.regrid_dtype = regrid_dtype
+        # phase-A algorithm: "tiles" = scatter-free dense per-tile gather
+        # (ops/tiles.py; needs per-halo curves), "scatter" = flat
+        # .at[].add accumulation, "auto" = tiles when available
+        self.deposit = deposit
         # compiled-kernel cache: closures are rebuilt on every process()
         # call, so jit identity alone would recompile each time; we key
         # compiled executables by static shape info instead
@@ -258,6 +262,73 @@ class DefaultRunner:
             prepared.append((K_ring, K_phi, batches))
         return prepared
 
+    # ------------------------------------------------------------------
+    # Scatter-free phase A: dense per-tile (pixel, halo) pair math
+    # (ops/tiles.py). TPU scatter-add is serialized (~50M updates/s) and
+    # was the measured wall at NSIDE=4096; the tiled kernels replace it
+    # with vectorized fma math + small MXU matmuls.
+    # ------------------------------------------------------------------
+    def _tiles_available(self, curve_meta):
+        """Tiled deposit needs per-halo curves; mesh mode keeps the
+        scatter path (tiles shard over the tile axis — future work)."""
+        if self.deposit == "scatter" or self.mesh is not None:
+            return False
+        return curve_meta is not None
+
+    def _get_tiling(self, NSIDE):
+        from ..ops import tiles as _tiles
+        tkey = ("tiling", NSIDE)
+        if tkey not in self._compiled:
+            self._compiled[tkey] = _tiles.SkyTiling(NSIDE)
+        return self._compiled[tkey]
+
+    def _get_tile_buckets(self, tiling, hd, small):
+        """(cached) halo->tile binning for the non-``small`` halos."""
+        from ..ops import tiles as _tiles
+        radius = hd["radius"]
+        bkey = ("tilebin", id(self.HaloLightConeCatalog), tiling.nside,
+                radius.shape[0], float(radius.sum()))
+        if bkey not in self._compiled:
+            idx_big = np.where(~small)[0]
+            t_ids, h_ids = _tiles.bin_halos_to_tiles(
+                tiling, hd["theta"][idx_big], hd["phi"][idx_big],
+                radius[idx_big])
+            buckets = _tiles.bucket_tiles(
+                t_ids, idx_big[h_ids].astype(np.int64))
+            for k in [k for k in self._compiled if k[0] == "tilebin"]:
+                del self._compiled[k]
+            self._compiled[bkey] = buckets
+        return self._compiled[bkey]
+
+    def _tile_base_pack(self, hd, extra_lnscale=None):
+        """Common per-halo device arrays for the tile kernels."""
+        dt = self.dtype
+        theta, phi, radius = hd["theta"], hd["phi"], hd["radius"]
+        st, ct = np.sin(theta), np.cos(theta)
+        vh = np.stack([st * np.cos(phi), st * np.sin(phi), ct], axis=1)
+        sinr2 = 2.0 * np.sin(np.minimum(radius, np.pi) / 2.0)
+        lnDa = np.log(hd["D"] / hd["a"])
+        if extra_lnscale is not None:
+            lnDa = lnDa + np.log(extra_lnscale)
+        return dict(vh=jnp.asarray(vh),
+                    crit2=jnp.asarray(sinr2 ** 2).astype(dt),
+                    lnDa=jnp.asarray(lnDa).astype(dt),
+                    invD=jnp.asarray(1.0 / hd["D"]).astype(dt))
+
+    def _tile_flat_gather(self, tiling, npix, acc):
+        """(cached jit) tile-major accumulator -> flat RING-pixel order."""
+        gkey = ("slotgather", tiling.nside, acc.ndim)
+        if gkey not in self._compiled:
+            self._compiled[gkey] = jax.jit(tiling.flat_view)
+        return self._compiled[gkey](acc)
+
+    def _small_disc_mask(self, hd, NSIDE):
+        """Halos whose discs are so small (< ~9 px) that the reference's
+        <4-pixel interp-neighbour fallback can trigger
+        (HealpixRunner.py:332-334); routed through the scatter path."""
+        pixarea = hpx.nside2pixarea(NSIDE)
+        return np.pi * hd["radius"] ** 2 < 9.0 * pixarea
+
 
 class BaryonifyShell(DefaultRunner):
     """Baryonify a lightcone shell (reference HealpixRunner.py:235-373).
@@ -393,6 +464,47 @@ class BaryonifyShell(DefaultRunner):
 
         return make_body
 
+    def _tiled_phase_a(self, hd, extras, curve_meta, NSIDE, npix):
+        from ..ops import tiles as _tiles
+
+        tiling = self._get_tiling(NSIDE)
+        curves, Rcom, rscale = extras[-3:]
+        ln_r0, dlnr = curve_meta
+        small = self._small_disc_mask(hd, NSIDE)
+        buckets = self._get_tile_buckets(tiling, hd, small)
+
+        pkey = ("tilepack", "displace", id(self.HaloLightConeCatalog))
+        if pkey not in self._compiled:
+            pack = self._tile_base_pack(hd, extra_lnscale=rscale)
+            pack["afac"] = jnp.asarray(hd["a"]).astype(self.dtype)
+            pack["curves"] = jnp.asarray(curves).astype(self.dtype)
+            run = _tiles.make_tile_deposit(tiling, curves.shape[1],
+                                           mode="displace",
+                                           dtype=self.dtype)
+            for k in [k for k in self._compiled if k[0] == "tilepack"]:
+                del self._compiled[k]
+            self._compiled[pkey] = (pack, run)
+        pack, run = self._compiled[pkey]
+
+        P = tiling.RB * tiling.K
+        acc = jnp.zeros((tiling.n_tiles, P, 2), dtype=self.dtype)
+        for bucket in buckets:
+            tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
+            acc = acc.at[jnp.asarray(tids)].add(out)
+        po = self._tile_flat_gather(tiling, npix, acc)
+
+        # small halos: old scatter path on just those (if any)
+        if small.any():
+            idx = np.where(small)[0]
+            hd_s = {k: v[idx] for k, v in hd.items()}
+            ex_s = [e[idx] for e in extras]
+            make_body = self._make_body_factory(NSIDE, npix, [], curve_meta)
+            acc_s = self._bucketed_accumulate(
+                make_body, hd_s, ex_s, (2 * (npix + 1),), self.dtype, NSIDE)
+            po = po + jnp.stack(
+                [acc_s[:npix], acc_s[npix + 1:2 * npix + 1]], axis=1)
+        return po
+
     @staticmethod
     def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig,
                  chunk_cap=(1 << 24)):
@@ -422,9 +534,14 @@ class BaryonifyShell(DefaultRunner):
             sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
             theta = theta_p + po[:, 0].astype(rdt)
             phi = phi_p + po[:, 1].astype(rdt) / sin_safe
-            # reflect pole overshoots back into [0, pi]
+            # reflect pole overshoots back into [0, pi]; a reflection
+            # passes through the pole, so phi flips by pi (the reference's
+            # 3D-vector normalize handles this implicitly,
+            # HealpixRunner.py:357-365)
+            over = (theta < 0) | (theta > jnp.pi)
             theta = jnp.abs(theta)
             theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
+            phi = jnp.where(over, phi + jnp.pi, phi)
             cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
             # untouched pixels (zero offset) map to themselves EXACTLY —
             # an identity even in f32 where recomputed weights carry
@@ -486,8 +603,10 @@ class BaryonifyShell(DefaultRunner):
         sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
         theta = theta_p + pix_offsets[idxc, 0].astype(rdt)
         phi = phi_p + pix_offsets[idxc, 1].astype(rdt) / sin_safe
+        over = (theta < 0) | (theta > jnp.pi)
         theta = jnp.abs(theta)
         theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
+        phi = jnp.where(over, phi + jnp.pi, phi)    # pole pass-through
         cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
         src = orig.astype(rdt)[idxc] * valid.astype(rdt)
         cpix = jnp.where(valid[:, None], cpix, npix)        # guard row
@@ -577,11 +696,17 @@ class BaryonifyShell(DefaultRunner):
                 del self._compiled[k]
             self._compiled[hkey] = (hd, extras, curve_meta)
 
-        make_body = self._make_body_factory(NSIDE, npix, keys, curve_meta)
-        acc = self._bucketed_accumulate(
-            make_body, hd, extras, (2 * (npix + 1),), self.dtype, NSIDE)
-        pix_offsets = jnp.stack([acc[:npix],
-                                 acc[npix + 1:2 * npix + 1]], axis=1)
+        if self._tiles_available(curve_meta):
+            pix_offsets = self._tiled_phase_a(hd, extras, curve_meta,
+                                              NSIDE, npix)
+        else:
+            make_body = self._make_body_factory(NSIDE, npix, keys,
+                                                curve_meta)
+            acc = self._bucketed_accumulate(
+                make_body, hd, extras, (2 * (npix + 1),), self.dtype,
+                NSIDE)
+            pix_offsets = jnp.stack([acc[:npix],
+                                     acc[npix + 1:2 * npix + 1]], axis=1)
 
         rdt = self.regrid_dtype
         ang_base = self._pixel_angles(NSIDE, npix, rdt)
@@ -670,6 +795,10 @@ class PaintProfilesShell(DefaultRunner):
             extras = extras + [np.asarray(curves)]
             curve_meta = (float(ln_r0), float(dlnr))
 
+        if self._tiles_available(curve_meta):
+            return self._tiled_paint(hd, extras, curve_meta, NSIDE, npix,
+                                     pixarea)
+
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
                          *o_h):
@@ -714,6 +843,48 @@ class PaintProfilesShell(DefaultRunner):
                                         acc_dtype, NSIDE)
         return np.asarray(acc[:npix], dtype=np.float64)
 
+    def _tiled_paint(self, hd, extras, curve_meta, NSIDE, npix, pixarea):
+        """Scatter-free painting: dense per-tile pair sums (ops/tiles.py).
+
+        Unlike the baryonify phase A there is no small-disc fallback in the
+        reference paint loop (HealpixRunner.py:376-483), so every halo goes
+        through the tiled kernel.
+        """
+        from ..ops import tiles as _tiles
+
+        tiling = self._get_tiling(NSIDE)
+        curves = extras[-1]
+        ln_r0, dlnr = curve_meta
+        small = np.zeros(hd["radius"].shape[0], dtype=bool)
+        buckets = self._get_tile_buckets(tiling, hd, small)
+
+        pkey = ("tilepack", "paint", id(self.HaloLightConeCatalog),
+                bool(self.include_pixel_size))
+        if pkey not in self._compiled:
+            pack = self._tile_base_pack(hd)
+            afac = 1.0 / hd["a"]            # curves store Sigma * a
+            if self.include_pixel_size:
+                afac = afac * pixarea * hd["D"] ** 2
+            pack["afac"] = jnp.asarray(afac).astype(self.dtype)
+            # clamp -inf log rows: exp(-80) reads as 0 without NaN risk
+            pack["curves"] = jnp.asarray(
+                np.maximum(curves, -80.0)).astype(self.dtype)
+            run = _tiles.make_tile_deposit(tiling, curves.shape[1],
+                                           mode="paint", dtype=self.dtype,
+                                           log_curves=True)
+            for k in [k for k in self._compiled if k[0] == "tilepack"]:
+                del self._compiled[k]
+            self._compiled[pkey] = (pack, run)
+        pack, run = self._compiled[pkey]
+
+        P = tiling.RB * tiling.K
+        acc = jnp.zeros((tiling.n_tiles, P), dtype=self.dtype)
+        for bucket in buckets:
+            tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
+            acc = acc.at[jnp.asarray(tids)].add(out)
+        flat = self._tile_flat_gather(tiling, npix, acc)
+        return np.asarray(flat, dtype=np.float64)
+
 
 class PaintProfilesAnisShell(DefaultRunner):
     """Anisotropic painting: weight the painted profile by the per-pixel
@@ -724,14 +895,21 @@ class PaintProfilesAnisShell(DefaultRunner):
                  model, Tracer_model, Mtot_model, background_val,
                  global_tracer_fraction, mass_def=_massdef.MassDef200c,
                  include_pixel_size=False, use_ellipticity=False,
-                 verbose=True, halo_batch=4096, dtype=jnp.float32):
+                 verbose=True, halo_batch=4096, dtype=jnp.float32,
+                 **runner_kwargs):
         self.Tracer_model = Tracer_model
         self.Mtot_model = Mtot_model
         self.background_val = background_val
         self.global_tracer_fraction = global_tracer_fraction
+        # forward the full runner config (mesh, n_size_buckets,
+        # pixel_budget, regrid_dtype, deposit, ...) by keyword so this
+        # runner shards/tunes like its siblings
         super().__init__(HaloLightConeCatalog, LightconeShell, epsilon_max,
-                         model, use_ellipticity, mass_def,
-                         include_pixel_size, verbose, halo_batch, dtype)
+                         model, use_ellipticity=use_ellipticity,
+                         mass_def=mass_def,
+                         include_pixel_size=include_pixel_size,
+                         verbose=verbose, halo_batch=halo_batch,
+                         dtype=dtype, **runner_kwargs)
 
     def process(self):
         from ..cosmo.core import cosmology_from_dict

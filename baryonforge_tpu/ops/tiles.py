@@ -48,7 +48,7 @@ class SkyTiling:
         so every segment fits: S_b = ceil(nr_max_b / (K - 2)).
     """
 
-    def __init__(self, nside, ring_block=16, seg_slots=34):
+    def __init__(self, nside, ring_block=16, seg_slots=32):
         self.nside = int(nside)
         self.RB = int(ring_block)
         self.K = int(seg_slots)
@@ -60,6 +60,14 @@ class SkyTiling:
         i_hi = np.minimum(i0 + self.RB - 1, n_rings)
         nr_max = 4 * np.minimum(np.maximum(i_hi, 4 * N - i0), N)
         self.S = np.maximum(1, -(-nr_max // (self.K - 2))).astype(np.int64)
+        # belt-pure blocks (all rings in [N, 3N], nr = 4N = const): pick S
+        # so segments are EXACTLY K pixels — then the tile-major layout of
+        # those blocks is a pure transpose of flat ring order and the flat
+        # view needs no gather there (flat_parts below)
+        belt = (i0 >= N) & (i_hi <= 3 * N)
+        if 4 * N % self.K == 0:
+            self.S = np.where(belt, 4 * N // self.K, self.S)
+        self._belt_exact = belt & (self.S * self.K == 4 * N)
         self.i0 = i0.astype(np.int64)
         self.tile_off = np.concatenate([[0], np.cumsum(self.S)])
         self.n_tiles = int(self.tile_off[-1])
@@ -112,15 +120,21 @@ class SkyTiling:
     def slot_index(self, p):
         """Flat RING pixel id -> linear slot index into the
         (n_tiles * RB * K) tile-major layout. Closed-form int math (jnp).
+
+        int32 throughout (int64 is software-emulated on TPU and this runs
+        once per map pixel); valid while npix and n_tiles*RB*K < 2^31,
+        i.e. NSIDE <= 8192 with the default slot geometry. The cap-ring
+        sqrt runs in f64 on the raw pixel id (exact for p < 2^52).
         """
         N = self.nside
         RB, K = self.RB, self.K
-        p = jnp.asarray(p, dtype=jnp.int64)
+        p = jnp.asarray(p, dtype=jnp.int32)
         ncap = 2 * N * (N - 1)
         npx = 12 * N * N
 
         # ring i and in-ring index j (mirrors hpx.pix2ang int logic)
-        i_n = ((1 + jnp.sqrt(1.0 + 2.0 * p)) / 2.0).astype(jnp.int64)
+        pf = p.astype(jnp.float64)
+        i_n = ((1 + jnp.sqrt(1.0 + 2.0 * pf)) / 2.0).astype(jnp.int32)
         i_n = jnp.where(2 * i_n * (i_n - 1) > p, i_n - 1, i_n)
         i_n = jnp.where(2 * i_n * (i_n + 1) <= p, i_n + 1, i_n)
         j_n = p - 2 * i_n * (i_n - 1)
@@ -129,8 +143,9 @@ class SkyTiling:
         i_e = N + pe // (4 * N)
         j_e = pe % (4 * N)
 
-        ps = npx - 1 - p
-        i_ss = ((1 + jnp.sqrt(1.0 + 2.0 * ps)) / 2.0).astype(jnp.int64)
+        ps = (npx - 1) - p
+        psf = ps.astype(jnp.float64)
+        i_ss = ((1 + jnp.sqrt(1.0 + 2.0 * psf)) / 2.0).astype(jnp.int32)
         i_ss = jnp.where(2 * i_ss * (i_ss - 1) > ps, i_ss - 1, i_ss)
         i_ss = jnp.where(2 * i_ss * (i_ss + 1) <= ps, i_ss + 1, i_ss)
         j_s = 4 * i_ss - 1 - (ps - 2 * i_ss * (i_ss - 1))
@@ -146,12 +161,51 @@ class SkyTiling:
 
         b = (i - 1) // RB
         u = (i - 1) - b * RB
-        S = jnp.asarray(self.S, dtype=jnp.int64)[b]
-        off = jnp.asarray(self.tile_off[:-1], dtype=jnp.int64)[b]
+        S = jnp.asarray(self.S, dtype=jnp.int32)[b]
+        off = jnp.asarray(self.tile_off[:-1], dtype=jnp.int32)[b]
         s = (2 * j + sh) * S // (2 * nr)
         j0 = (2 * s * nr - sh * S + 2 * S - 1) // (2 * S)
         v = j - j0
         return ((off + s) * RB + u) * K + v
+
+
+    def flat_view(self, acc):
+        """Tile-major accumulator (n_tiles, RB*K, ...) -> flat RING order
+        (npix, ...).
+
+        Belt-exact blocks (segments of exactly K pixels) reassemble with a
+        pure transpose+reshape (memory-bandwidth); only the polar caps go
+        through the computed-index gather (~1/3 of pixels) — the full
+        gather was the measured phase-A bottleneck after the hat kernel.
+        """
+        N = self.nside
+        RB, K = self.RB, self.K
+        npix = 12 * N * N
+        trail = acc.shape[2:]
+        flat_slots = acc.reshape((self.n_tiles * RB * K,) + trail)
+
+        blocks = np.where(self._belt_exact)[0]
+        if blocks.size == 0:
+            lin = self.slot_index(jnp.arange(npix, dtype=jnp.int32))
+            return flat_slots[lin]
+        b0, b1 = int(blocks[0]), int(blocks[-1])
+        ncap = 2 * N * (N - 1)
+        ring0 = int(self.i0[b0])
+        ring1 = int(self.i0[b1]) + RB - 1
+        sp0 = ncap + (ring0 - N) * 4 * N
+        sp1 = ncap + (ring1 + 1 - N) * 4 * N
+        t0 = int(self.tile_off[b0])
+        t1 = int(self.tile_off[b1 + 1])
+        S = int(self.S[b0])
+        NB = b1 - b0 + 1
+
+        belt = acc[t0:t1].reshape((NB, S, RB, K) + trail)
+        belt = jnp.swapaxes(belt, 1, 2).reshape((sp1 - sp0,) + trail)
+        head = flat_slots[self.slot_index(
+            jnp.arange(sp0, dtype=jnp.int32))]
+        tail = flat_slots[self.slot_index(
+            jnp.arange(sp1, npix, dtype=jnp.int32))]
+        return jnp.concatenate([head, belt, tail], axis=0)
 
 
 def _ring_theta_np(N, i):
@@ -238,6 +292,171 @@ def bin_halos_to_tiles(tiling, theta, phi, radius, margin_pix=2.0):
     if not tiles_all:
         return (np.zeros(0, np.int64), np.zeros(0, np.int64))
     return np.concatenate(tiles_all), np.concatenate(halos_all)
+
+
+def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
+                      h_chunk=64, t_chunk=256, log_curves=False,
+                      lookup="auto"):
+    """Build the dense per-tile pair kernel (the scatter-free phase A).
+
+    Returns ``run(bucket, halo_pack, extra) -> (tile_ids, out)`` where
+    ``bucket = (tile_ids (T,), halo_idx (T, H))`` from :func:`bucket_tiles`
+    and ``halo_pack`` is a dict of (n_halos, ...) device arrays:
+
+      vh      (n, 3)  halo unit vectors (f64 host-computed, cast to dtype)
+      crit2   (n,)    squared max chord: (2 sin(radius/2))^2
+      lnDa    (n,)    ln(D * rscale / a) -- radial log offset of the lookup
+      afac    (n,)    multiplies the displacement (comoving -> physical: a)
+      invD    (n,)    1 / D (angular diameter distance)
+      curves  (n, n_r) per-halo displacement (or paint) curves
+      ln_r0, inv_dlnr : scalars of the curve grid (python floats)
+
+    mode="displace": out (T, RB*K, 2) tangent (d theta, sin-theta d phi)
+    sums. mode="paint": out (T, RB*K) plain curve-value sums (afac is then
+    the per-halo paint scale, e.g. 1/a or pixarea*D^2/a).
+
+    The (P, 3) x (3, H) cross terms run on the MXU at HIGHEST precision;
+    everything else is fma-grade elementwise math. No scatter anywhere.
+    """
+    nside = tiling.nside
+    RB, K = tiling.RB, tiling.K
+    P = RB * K
+    tile_i0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
+    tile_s = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
+    tile_S = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
+    tile_center = jnp.asarray(tiling.tile_center)          # (n_tiles, 3)
+    displace = mode == "displace"
+    if lookup == "auto":
+        # the hat contraction is the TPU-native exact lerp (per-pair
+        # gathers serialize, 27x slower — measured); on CPU the gather
+        # wins by a similar margin
+        lookup = "hat" if jax.default_backend() == "tpu" else "gather"
+
+    def one_tile(tid, hidx, pack, ln_r0, inv_dlnr):
+        # ---- slot geometry (f64 ints/trig once per slot, cast to dtype)
+        pix, phi, valid, theta_r = tiling.slot_pixels(
+            tile_i0[tid], tile_s[tid], tile_S[tid])
+        c = tile_center[tid]                                # (3,) f64
+        st = jnp.sin(theta_r)[:, None]
+        ct = jnp.cos(theta_r)[:, None]
+        sphi = jnp.sin(phi)
+        cphi = jnp.cos(phi)
+        vp = jnp.stack([st * cphi, st * sphi,
+                        jnp.broadcast_to(ct, phi.shape)], axis=-1)
+        # transposed (3, P) layout: P rides the lane dimension everywhere
+        dpT = (vp - c).reshape(P, 3).astype(dtype).T        # local coords
+        np2 = jnp.sum(dpT * dpT, axis=0)                    # (P,)
+        if displace:
+            e_thT = jnp.stack([ct * cphi, ct * sphi,
+                               jnp.broadcast_to(-st, phi.shape)],
+                              axis=-1).reshape(P, 3).astype(dtype).T
+            e_phT = jnp.stack([-sphi, cphi, jnp.zeros_like(phi)],
+                              axis=-1).reshape(P, 3).astype(dtype).T
+            a_th = -(c.astype(dtype) @ e_thT)               # (P,)
+            a_ph = -(c.astype(dtype) @ e_phT)
+
+        # ---- halo-axis scan in chunks (bounds the (h, P) intermediates)
+        n_h = hidx.shape[0]
+        hc = min(h_chunk, n_h)
+        hidx_c = hidx.reshape(n_h // hc, hc)
+
+        def h_body(carry, hi):
+            ok = hi >= 0
+            hcl = jnp.maximum(hi, 0)
+            vh = pack["vh"][hcl].astype(dtype)              # (h, 3)
+            dh = vh - c.astype(dtype)[None, :]
+            nh2 = jnp.sum(dh * dh, axis=-1)
+            # all (h, P): TPU VPU wants the big axis minor; per-pair
+            # gathers are 27x slower than this select+fma form (measured)
+            G = (dh[:, 0:1] * dpT[0][None, :]
+                 + dh[:, 1:2] * dpT[1][None, :]
+                 + dh[:, 2:3] * dpT[2][None, :])
+            chord2 = nh2[:, None] + np2[None, :] - 2.0 * G
+            chord2 = jnp.maximum(chord2, 1e-30)
+            x = (0.5 * jnp.log(chord2)
+                 + pack["lnDa"][hcl][:, None] - ln_r0) * inv_dlnr
+            cv = pack["curves"][hcl]                        # (h, n_r)
+            if lookup == "hat":
+                # exact linear interp as a hat-basis contraction: the TPU
+                # has no per-lane gather, so sum_c max(0, 1-|x-c|)*cv[:,c]
+                # IS the native table lookup
+                val = jax.lax.fori_loop(
+                    0, n_r,
+                    lambda cc, acc: acc + jnp.maximum(
+                        0.0, 1.0 - jnp.abs(x - cc))
+                    * jax.lax.dynamic_slice_in_dim(cv, cc, 1, axis=1),
+                    jnp.zeros_like(x))
+            else:
+                i = jnp.clip(x.astype(jnp.int32), 0, n_r - 2)
+                t = x - i.astype(dtype)
+                v0 = jnp.take_along_axis(cv, i, axis=1)
+                v1 = jnp.take_along_axis(cv, i + 1, axis=1)
+                val = v0 * (1.0 - t) + v1 * t
+            if log_curves:           # paint curves store log values
+                val = jnp.exp(val)
+            use = ((x >= 0) & (x <= n_r - 1) & ok[:, None]
+                   & (chord2 <= pack["crit2"][hcl][:, None]))
+            d = jnp.where(use, val, 0.0) * pack["afac"][hcl][:, None]
+            if displace:
+                amp = d * jax.lax.rsqrt(chord2) * pack["invD"][hcl][:, None]
+                gth = (dh[:, 0:1] * e_thT[0][None, :]
+                       + dh[:, 1:2] * e_thT[1][None, :]
+                       + dh[:, 2:3] * e_thT[2][None, :])
+                gph = (dh[:, 0:1] * e_phT[0][None, :]
+                       + dh[:, 1:2] * e_phT[1][None, :]
+                       + dh[:, 2:3] * e_phT[2][None, :])
+                s0, sth, sph = carry
+                s0 = s0 + jnp.sum(amp, axis=0)
+                sth = sth + jnp.sum(amp * gth, axis=0)
+                sph = sph + jnp.sum(amp * gph, axis=0)
+                return (s0, sth, sph), None
+            s0, _, _ = carry
+            return (s0 + jnp.sum(d, axis=0), s0, s0), None
+
+        z = jnp.zeros(P, dtype=dtype)
+        (s0, sth, sph), _ = jax.lax.scan(h_body, (z, z, z), hidx_c)
+        if displace:
+            out = jnp.stack([s0 * a_th - sth, s0 * a_ph - sph], axis=-1)
+        else:
+            out = s0
+        return jnp.where(jnp.isfinite(out), out, 0.0)
+
+    def run_all(tid, hid, pack, ln_r0, inv_dlnr):
+        # one dispatch: sequential lax.map over tile chunks (bounds the
+        # (P, h) intermediates), vmap over tiles inside each chunk
+        def chunk(args):
+            t, h = args
+            return jax.vmap(lambda ti, hi: one_tile(ti, hi, pack, ln_r0,
+                                                    inv_dlnr))(t, h)
+        out = jax.lax.map(chunk, (tid, hid))
+        return out.reshape((-1,) + out.shape[2:])
+
+    jitted = jax.jit(run_all)
+    _dev_cache = {}
+
+    def run(bucket, pack, ln_r0, inv_dlnr):
+        tids_np, hidx_np = bucket
+        key = id(hidx_np)
+        if key not in _dev_cache:
+            # pad/upload ONCE: repeated process() calls (and per-call
+            # chunk loops) must not re-ship halo lists over the (slow)
+            # host->device link
+            T, H = hidx_np.shape
+            Hp = (-(-H // 8) * 8 if H <= h_chunk
+                  else -(-H // h_chunk) * h_chunk)
+            Tp = min(t_chunk, max(8, T))
+            nch = -(-T // Tp)
+            hid = np.full((nch * Tp, Hp), -1, dtype=np.int32)
+            hid[:T, :H] = hidx_np
+            tid = np.zeros(nch * Tp, dtype=np.int32)
+            tid[:T] = tids_np
+            _dev_cache[key] = (jnp.asarray(tid.reshape(nch, Tp)),
+                               jnp.asarray(hid.reshape(nch, Tp, Hp)))
+        tid_d, hid_d = _dev_cache[key]
+        out = jitted(tid_d, hid_d, pack, ln_r0, inv_dlnr)
+        return tids_np, out[:tids_np.shape[0]]
+
+    return run
 
 
 def bucket_tiles(tile_ids, halo_ids, n_buckets=4, h_align=8):

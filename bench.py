@@ -28,6 +28,11 @@ os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
+# persistent cache: the ~20 s XLA:CPU compile of the table kernel is paid
+# once; later bench runs rebuild the table in a few seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.getcwd(), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 import baryonforge_tpu
 from baryonforge_tpu import Profiles
@@ -118,8 +123,12 @@ def main():
     t_warm = time.time() - t0
     print(f"# warmup (incl. compile): {t_warm:.1f} s", file=sys.stderr)
 
+    # best of 5: the dev-tunnel download bandwidth for the 50 MB result
+    # map fluctuates 4-25 MB/s between calls and dominates wall time
+    # (device compute is ~1 s; on directly-attached TPU the transfer is
+    # ~1 ms)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = runner.process()
         times.append(time.time() - t0)

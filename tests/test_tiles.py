@@ -88,6 +88,58 @@ def test_halo_binning_covers_disc_pixels():
                 f"halo {h} disc touches tile {tid} but was not binned")
 
 
+@pytest.mark.parametrize("nside,rb,k", [(64, 16, 32), (64, 8, 18),
+                                        (128, 16, 32)])
+def test_flat_view_matches_slot_index(nside, rb, k):
+    """flat_view (belt transpose + cap gather) must equal the plain
+    slot_index gather for every pixel."""
+    import jax.numpy as jnp
+    t = SkyTiling(nside, ring_block=rb, seg_slots=k)
+    npix = 12 * nside * nside
+    P = t.RB * t.K
+    rng = np.random.default_rng(7)
+    acc = jnp.asarray(rng.standard_normal((t.n_tiles, P, 2)))
+    lin = np.asarray(t.slot_index(jnp.arange(npix, dtype=jnp.int32)))
+    ref = np.asarray(acc).reshape(-1, 2)[lin]
+    got = np.asarray(t.flat_view(acc))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hat_lookup_matches_gather():
+    """The TPU hat-basis contraction and the gather lerp are the same
+    interpolation; validate on the kernel surface (CPU runs both)."""
+    import jax.numpy as jnp
+    from baryonforge_tpu.ops.tiles import make_tile_deposit
+
+    nside = 32
+    t = SkyTiling(nside, ring_block=8, seg_slots=18)
+    n, n_r = 24, 16
+    theta = np.arccos(RNG.uniform(-1, 1, n))
+    phi = RNG.uniform(0, 2 * np.pi, n)
+    radius = RNG.uniform(0.05, 0.3, n)
+    tiles, halos = bin_halos_to_tiles(t, theta, phi, radius)
+    buckets = bucket_tiles(tiles, halos)
+
+    st, ct = np.sin(theta), np.cos(theta)
+    pack = dict(
+        vh=jnp.asarray(np.stack([st * np.cos(phi), st * np.sin(phi), ct],
+                                axis=1)),
+        crit2=jnp.asarray((2 * np.sin(radius / 2)) ** 2, dtype=jnp.float32),
+        lnDa=jnp.asarray(RNG.uniform(3, 5, n), dtype=jnp.float32),
+        afac=jnp.asarray(np.ones(n), dtype=jnp.float32),
+        invD=jnp.asarray(np.full(n, 1e-3), dtype=jnp.float32),
+        curves=jnp.asarray(RNG.standard_normal((n, n_r)),
+                           dtype=jnp.float32),
+    )
+    outs = {}
+    for lk in ("hat", "gather"):
+        run = make_tile_deposit(t, n_r, mode="displace", lookup=lk)
+        outs[lk] = [np.asarray(run(b, pack, 0.0, 4.0)[1]) for b in buckets]
+    for a, b in zip(outs["hat"], outs["gather"]):
+        np.testing.assert_allclose(a, b, atol=1e-6 * max(
+            1e-30, np.abs(b).max()))
+
+
 def test_bucket_tiles_roundtrip():
     tiles = np.array([3, 3, 3, 7, 7, 9, 9, 9, 9, 9, 9, 9, 9, 9])
     halos = np.arange(tiles.size)
