@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite's dominant cost is XLA:CPU compiles
+# of near-identical kernels re-traced per test (new closures per runner).
+# Keyed by HLO, so repeats across tests AND across pytest runs hit.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import baryonforge_tpu  # noqa: E402  (enables x64)
 

@@ -38,8 +38,12 @@ def test_sharded_baryonify_matches_single_device():
     raw = RNG.exponential(1.0, NPIX)
     shell = utils.LightconeShell(map=raw, cosmo=COSMO_DICT)
 
+    # mesh mode runs the scatter deposit; compare like-for-like (the
+    # tiled deposit is equivalence-tested separately in
+    # test_tiled_deposit.py with edge-jitter tolerances)
     single = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
-                                    halo_batch=8).process()
+                                    halo_batch=8,
+                                    deposit="scatter").process()
     mesh = parallel.halo_mesh(8)
     sharded = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
                                      halo_batch=8, mesh=mesh).process()
@@ -57,7 +61,8 @@ def test_splitjoin_paint():
                            verbose=False)
     shell = utils.LightconeShell(map=np.zeros(NPIX), cosmo=COSMO_DICT)
     runner = Runners.PaintProfilesShell(cat, shell, epsilon_max=5,
-                                        model=tab, halo_batch=8)
+                                        model=tab, halo_batch=8,
+                                        deposit="scatter")
     single = runner.process()
     split = parallel.SplitJoinParallel(runner, mesh=parallel.halo_mesh(8))
     out = split.process()

@@ -63,6 +63,7 @@ def test_paint_shell_with_p_keys():
     assert np.all(np.isfinite(out)) and out.sum() > 0
 
 
+@pytest.mark.slow
 def test_baryonify_shell_with_p_keys():
     # sweep a gas parameter (theta_ej): other_params sets it on BOTH
     # models (reference semantics, BaryonCorrection.py:226-227), but only

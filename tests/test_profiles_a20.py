@@ -80,6 +80,7 @@ def test_component_smoke(cls):
     assert np.all(np.isfinite(out)), f"{cls} non-finite"
 
 
+@pytest.mark.slow
 def test_dmb_mass_close_to_dmo():
     # total DMB mass within R200c should be close to M (components sum to
     # f_bar-complete budget inside the halo, minus ejected gas outside)

@@ -14,18 +14,19 @@ from baryonforge_tpu.ops.tiles import (SkyTiling, bin_halos_to_tiles,
 RNG = np.random.default_rng(11)
 
 
-@pytest.mark.parametrize("nside", [8, 64, 256])
+@pytest.mark.parametrize("nside", [8, 64, 128])
 def test_partition_and_inverse(nside):
+    import jax
     t = SkyTiling(nside, ring_block=8, seg_slots=18)
     npix = 12 * nside * nside
 
-    # forward: enumerate every tile's slots
+    # forward: enumerate every tile's slots (batched over tiles)
+    pix_all, _, valid_all, _ = jax.vmap(t.slot_pixels)(
+        jnp.asarray(t.tile_i0), jnp.asarray(t.tile_s),
+        jnp.asarray(t.tile_S))
     cover = np.full(npix, -1, dtype=np.int64)
     for tid in range(t.n_tiles):
-        pix, phi, valid, _ = t.slot_pixels(
-            jnp.asarray(t.tile_i0[tid]), jnp.asarray(t.tile_s[tid]),
-            jnp.asarray(t.tile_S[tid]))
-        pixv = np.asarray(pix)[np.asarray(valid)]
+        pixv = np.asarray(pix_all[tid])[np.asarray(valid_all[tid])]
         assert np.all(cover[pixv] == -1), "tile overlap"
         cover[pixv] = tid
     assert np.all(cover >= 0), "tiles do not cover the sphere"
