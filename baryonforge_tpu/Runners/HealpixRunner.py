@@ -125,14 +125,25 @@ class DefaultRunner:
 
     # ------------------------------------------------------------------
     def _host_halo_data(self, cosmo_jax):
-        """Per-halo static data computed host-side (numpy f64)."""
+        """Per-halo static data computed host-side (numpy f64).
+
+        The two cosmology evaluations MUST be jitted: eager op-by-op
+        dispatch on the axon backend costs ~55 s/op at 1e5 elements
+        (each eager op is a separate remote compile + RPC).
+        """
         cat = self.HaloLightConeCatalog.cat
         z = np.asarray(cat["z"], dtype=float)
         assert z.max() <= 30, f"max(z) = {z.max()} exceeds the z<=30 assumption"
         M = np.asarray(cat["M"], dtype=float)
         a = 1.0 / (1.0 + z)
-        R = np.asarray(self.mass_def.get_radius(cosmo_jax, M, a))  # physical
-        D = np.asarray(_core.angular_diameter_distance(cosmo_jax, a))
+        jkey = ("hostprep_jit", self.mass_def.name)
+        if jkey not in self._compiled:
+            self._compiled[jkey] = jax.jit(lambda M, a: (
+                self.mass_def.get_radius(cosmo_jax, M, a),
+                _core.angular_diameter_distance(cosmo_jax, a)))
+        R_dev, D_dev = self._compiled[jkey](M, a)
+        R = np.asarray(R_dev)                                  # physical
+        D = np.asarray(D_dev)
         theta = np.radians(90.0 - np.asarray(cat["dec"], dtype=float))
         phi = np.radians(np.asarray(cat["ra"], dtype=float))
         radius = R * self.epsilon_max / D
@@ -351,7 +362,9 @@ class BaryonifyShell(DefaultRunner):
         model = self.model
         if self.dtype == jnp.float32 and hasattr(model, "with_dtype"):
             model = model.with_dtype(self.dtype)
-        curves, ln_r0, dlnr = model.halo_curves(hd["M"], hd["a"])
+        # jit: eager axon dispatch is ~55 s/op at 1e5 halos
+        curves, ln_r0, dlnr = jax.jit(
+            lambda M, a: model.halo_curves(M, a))(hd["M"], hd["a"])
         Rcom = hd["R"] / hd["a"]
         rscale = (1.0 / Rcom if getattr(model, "Rdelta_sampling", False)
                   else np.ones_like(Rcom))
@@ -790,8 +803,9 @@ class PaintProfilesShell(DefaultRunner):
         # constant (z, M) axes are interpolated once per halo host-side
         curve_meta = None
         if hasattr(model, "halo_curves") and not keys:
-            curves, ln_r0, dlnr = model.halo_curves(hd["M"], hd["a"],
-                                                    kind="projected")
+            curves, ln_r0, dlnr = jax.jit(
+                lambda M, a: model.halo_curves(M, a, kind="projected"))(
+                hd["M"], hd["a"])
             extras = extras + [np.asarray(curves)]
             curve_meta = (float(ln_r0), float(dlnr))
 

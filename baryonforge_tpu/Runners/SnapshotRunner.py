@@ -66,7 +66,8 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         cat = self.HaloNDCatalog.cat
         a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
         M = np.asarray(cat["M"], dtype=float)
-        R = np.asarray(self.mass_def.get_radius(cosmo, M, a))
+        R = np.asarray(jax.jit(lambda M, a: self.mass_def.get_radius(
+            cosmo, M, a))(M, a))   # jit: eager axon dispatch is ~55 s/op at 1e5
         R_q = np.clip(self.epsilon_max * R / a, 0, L / 2)
         hcols = ["x", "y"] if is2D else ["x", "y", "z"]
         hpos = np.stack([np.asarray(cat[c], dtype=float) for c in hcols],
