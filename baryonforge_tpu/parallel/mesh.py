@@ -19,10 +19,18 @@ def halo_mesh(n_devices=None):
 
 
 class SimpleParallel:
-    """Run a list of independent Runners and return their outputs in order
-    (reference Parallelize.py:58-113). On TPU each runner is internally
-    device-parallel, so this is a sequential loop with API parity; pass
-    ``mesh`` to the runners themselves for multi-chip execution."""
+    """Run a list of independent Runners concurrently and return their
+    outputs in order (reference Parallelize.py:58-113).
+
+    The reference farms runners to loky processes; here each runner is
+    dispatched from its own thread with a round-robin ``jax.default_device``
+    so independent shells occupy different devices of a multi-chip host
+    (and, single-chip, host prep / H2D / compute / D2H overlap across
+    runners — jax releases the GIL during device execution).
+
+    ``njobs``: -1/None = one worker per local device (capped at the number
+    of runners); 1 = sequential; N = thread count.
+    """
 
     def __init__(self, Runner_list, njobs=-1, verbose=True):
         self.Runner_list = list(Runner_list)
@@ -30,7 +38,23 @@ class SimpleParallel:
         self.verbose = verbose
 
     def process(self):
-        return [r.process() for r in self.Runner_list]
+        n = len(self.Runner_list)
+        devs = jax.local_devices()
+        workers = (min(n, max(1, len(devs)))
+                   if self.njobs in (-1, None) else max(1, int(self.njobs)))
+        if workers <= 1 or n <= 1:
+            return [r.process() for r in self.Runner_list]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_one(i):
+            runner = self.Runner_list[i]
+            with jax.default_device(devs[i % len(devs)]):
+                return runner.process()
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futures = [ex.submit(run_one, i) for i in range(n)]
+            return [f.result() for f in futures]
 
 
 class SplitJoinParallel:

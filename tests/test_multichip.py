@@ -51,6 +51,24 @@ def test_sharded_baryonify_matches_single_device():
     np.testing.assert_allclose(sharded.sum(), raw.sum(), rtol=1e-8)
 
 
+def test_simple_parallel_concurrent_matches_sequential():
+    """SimpleParallel must produce the same per-runner outputs as a
+    sequential loop while spreading runners over devices."""
+    cat, model = _setup()
+    shells = [utils.LightconeShell(map=RNG.exponential(1.0, NPIX),
+                                   cosmo=COSMO_DICT) for _ in range(4)]
+    runners = [Runners.BaryonifyShell(cat, s, epsilon_max=20, model=model,
+                                      halo_batch=8, deposit="scatter")
+               for s in shells]
+    seq = [Runners.BaryonifyShell(cat, s, epsilon_max=20, model=model,
+                                  halo_batch=8, deposit="scatter").process()
+           for s in shells]
+    par = parallel.SimpleParallel(runners, njobs=4).process()
+    assert len(par) == 4
+    for a, b in zip(par, seq):
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
 def test_splitjoin_paint():
     cat, _ = _setup()
     tab = utils.TabulatedProfile(Profiles.DarkMatter(
