@@ -6,6 +6,10 @@ pair, the 2D displacement table, and runs BaryonifyShell.
 Run: python examples/01_baryonify_shell.py [nside] [n_halos]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import sys
 import time
 import numpy as np

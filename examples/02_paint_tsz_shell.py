@@ -1,5 +1,9 @@
 """Example: paint a tSZ Compton-y map on a shell (reference example 05)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import sys
 import time
 import numpy as np

@@ -1,6 +1,10 @@
 """Example: baryonify a 3D grid and measure Delta P(k)
 (reference examples 10/12 reproduce published suppression curves)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import sys
 import time
 import numpy as np

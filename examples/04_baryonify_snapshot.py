@@ -1,5 +1,9 @@
 """Example: baryonify a particle snapshot (reference SnapshotRunner flow)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import sys
 import time
 import numpy as np

@@ -8,6 +8,10 @@ and Schneider+25 at a fixed halo mass, plus the baryon fraction budget
 Run: python examples/05_profile_gallery.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import baryonforge_tpu  # noqa: F401

@@ -8,6 +8,10 @@ S19 displacement table, and prints the P(k) suppression ratio.
 Run: python examples/06_delta_pk.py [N_grid] [n_halos]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import sys
 import numpy as np
 

@@ -9,6 +9,10 @@ mass differs from the mass-definition mass.
 Run: python examples/07_halomodel_pk.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import baryonforge_tpu  # noqa: F401

@@ -7,6 +7,10 @@ pixel via the FFTLog round trip, and prints the core suppression.
 Run: python examples/08_pixel_smoothing.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import baryonforge_tpu  # noqa: F401

@@ -8,6 +8,10 @@ column automatically via the model's ``p_keys``.
 Run: python examples/09_secondary_properties.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import baryonforge_tpu  # noqa: F401

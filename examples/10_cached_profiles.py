@@ -7,6 +7,10 @@ repeat-call speedup (the reference reports 1.65 s -> 223 us).
 Run: python examples/10_cached_profiles.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import time
 import numpy as np
 

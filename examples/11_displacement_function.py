@@ -8,6 +8,10 @@ prints d(r) for several halo masses, plus the shock test: ejecting more gas
 Run: python examples/11_displacement_function.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
 import numpy as np
 
 import baryonforge_tpu  # noqa: F401

@@ -1,0 +1,77 @@
+"""Delta-Cl validation: baryonifying a painted mass shell suppresses the
+angular power spectrum at small scales and preserves large scales — the
+reference's examples/09_Reproduce_Schneider_deltaCls.ipynb workflow
+(paint -> baryonify -> anafast ratio), self-contained via utils/sht.
+"""
+
+import numpy as np
+import pytest
+
+from baryonforge_tpu import Profiles, Runners, utils
+from baryonforge_tpu import cosmo as bcosmo
+from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification2D
+from baryonforge_tpu.utils import sht
+from defaults import COSMO, COSMO_DICT, bpar_S19
+
+RNG = np.random.default_rng(13)
+NSIDE = 64
+NPIX = 12 * NSIDE * NSIDE
+
+
+@pytest.mark.slow
+def test_baryonification_suppresses_cl():
+    n = 120
+    ra = RNG.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(RNG.uniform(-1, 1, n)))
+    M = 10 ** RNG.uniform(14.0, 15.0, n)
+    z = RNG.uniform(0.08, 0.15, n)
+    cat = utils.HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z,
+                                     cosmo=COSMO_DICT)
+
+    # paint the DMO mass shell
+    tab = utils.TabulatedProfile(
+        Profiles.DarkMatterOnly(**bpar_S19, proj_cutoff=100), COSMO)
+    tab.setup_interpolator(z_min=0.05, z_max=0.3, N_samples_z=3,
+                           M_min=5e13, M_max=3e15, N_samples_Mass=8,
+                           R_min=1e-3, R_max=60, N_samples_R=64,
+                           verbose=False)
+    zero_shell = utils.LightconeShell(map=np.zeros(NPIX), cosmo=COSMO_DICT)
+    mass_map = Runners.PaintProfilesShell(
+        cat, zero_shell, epsilon_max=10, model=tab,
+        include_pixel_size=True, halo_batch=32, verbose=False).process()
+    mass_map = mass_map + mass_map.mean()     # uniform background
+
+    # baryonify
+    DMO = Profiles.DarkMatterOnly(**bpar_S19, proj_cutoff=100)
+    DMB = Profiles.DarkMatterBaryon(**bpar_S19, proj_cutoff=100)
+    model = Baryonification2D(DMO, DMB, COSMO, epsilon_max=20)
+    model.setup_interpolator(z_min=0.05, z_max=0.3, N_samples_z=3,
+                             M_min=5e13, M_max=3e15, N_samples_Mass=8,
+                             R_min=1e-3, R_max=60, N_samples_R=64,
+                             verbose=False)
+    shell = utils.LightconeShell(map=mass_map, cosmo=COSMO_DICT)
+    new_map = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                     model=model, halo_batch=32,
+                                     verbose=False).process()
+
+    lmax = 3 * NSIDE - 1
+    d0 = mass_map / mass_map.mean() - 1.0
+    d1 = new_map / new_map.mean() - 1.0
+    cl0 = sht.anafast(d0, lmax=lmax)
+    cl1 = sht.anafast(d1, lmax=lmax)
+    good = cl0 > 0
+    ratio = np.where(good, cl1 / np.where(good, cl0, 1.0), 1.0)
+
+    ell = np.arange(lmax + 1)
+    lo = (ell >= 2) & (ell <= 10)
+    hi = (ell >= 120) & (ell <= lmax)
+    # large scales preserved to a few percent
+    assert np.abs(np.mean(ratio[lo]) - 1) < 0.05, ratio[lo]
+    # small scales suppressed (gas pushed out of halo centers). At
+    # NSIDE=64 the pixels are ~1 deg so the accessible ells only graze
+    # the suppression regime (measured ~2% at ell 100-190); the strong
+    # quantitative pins live in test_deltapk / test_s19_published_curves.
+    hi_mean = np.mean(ratio[hi])
+    assert hi_mean < 0.99, f"no high-ell suppression: {hi_mean}"
+    assert hi_mean > 0.85, f"suppression implausibly strong: {hi_mean}"
+    # mass conservation already asserted inside process()

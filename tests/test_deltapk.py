@@ -81,12 +81,19 @@ def test_baryonification_suppresses_pk():
     k1, pk1 = _pk_3d(new_map, L)
     ratio = pk1 / pk0
 
-    # large scales unchanged (few %), intermediate scales suppressed
-    assert abs(ratio[1] - 1) < 0.05
-    mid = (k0 > 0.6) & (k0 < 2.0)
-    assert ratio[mid].min() < 0.99, f"no suppression seen: {ratio[mid]}"
-    # suppression is percent-level, not catastrophic
-    # skip bin 0: it contains only the DC mode, which is exactly zero
-    # after mean removal — its "power" is float roundoff and the ratio of
-    # two roundoffs is meaningless
+    # Quantitative band informed by the S19 Fig2 suppression curves
+    # (tests/data/S19_Fig2_Scrapped.csv: ~0.78-0.88 at k ~ 10-20 h/Mpc)
+    # scaled to this synthetic setup, where ~50% of the mass sits in
+    # halos by construction: measured suppression reaches 8-9% by
+    # k ~ 1 /Mpc. A >=20% normalization or displacement bug moves the
+    # curve far outside these bounds.
+    assert abs(ratio[1] - 1) < 0.02, "large scales must be preserved"
+    mid = (k0 > 0.9) & (k0 < 1.5)
+    mid_mean = ratio[mid].mean()
+    assert 0.85 < mid_mean < 0.96, (
+        f"suppression at k~1/Mpc out of band: {mid_mean:.4f}")
+    # suppression grows monotonically (smoothed) from large scales
+    lo_mean = ratio[(k0 > 0.1) & (k0 < 0.3)].mean()
+    assert lo_mean > mid_mean
+    # skip bin 0: DC mode is roundoff after mean removal
     assert ratio[1:].min() > 0.5
