@@ -280,9 +280,11 @@ class DefaultRunner:
     # with vectorized fma math + small MXU matmuls.
     # ------------------------------------------------------------------
     def _tiles_available(self, curve_meta):
-        """Tiled deposit needs per-halo curves; mesh mode keeps the
-        scatter path (tiles shard over the tile axis — future work)."""
-        if self.deposit == "scatter" or self.mesh is not None:
+        """Tiled deposit needs per-halo curves (p_keys models use the
+        scatter path). With a mesh, tiles shard over the chunk axis and
+        phase B shards sources + psums (see ops/tiles.make_tile_deposit
+        and _phase_b_mesh)."""
+        if self.deposit == "scatter":
             return False
         return curve_meta is not None
 
@@ -493,7 +495,8 @@ class BaryonifyShell(DefaultRunner):
             pack["curves"] = jnp.asarray(curves).astype(self.dtype)
             run = _tiles.make_tile_deposit(tiling, curves.shape[1],
                                            mode="displace",
-                                           dtype=self.dtype)
+                                           dtype=self.dtype,
+                                           mesh=self.mesh)
             for k in [k for k in self._compiled if k[0] == "tilepack"]:
                 del self._compiled[k]
             self._compiled[pkey] = (pack, run)
@@ -541,35 +544,7 @@ class BaryonifyShell(DefaultRunner):
         C = npix // n_chunks
 
         def weights_chunk(start, po, ab):
-            theta_p = ab[:, 0]
-            phi_p = ab[:, 1]
-            sin_t = jnp.sin(theta_p)
-            sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
-            theta = theta_p + po[:, 0].astype(rdt)
-            phi = phi_p + po[:, 1].astype(rdt) / sin_safe
-            # reflect pole overshoots back into [0, pi]; a reflection
-            # passes through the pole, so phi flips by pi (the reference's
-            # 3D-vector normalize handles this implicitly,
-            # HealpixRunner.py:357-365)
-            over = (theta < 0) | (theta > jnp.pi)
-            theta = jnp.abs(theta)
-            theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
-            phi = jnp.where(over, phi + jnp.pi, phi)
-            cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
-            # untouched pixels (zero offset) map to themselves EXACTLY —
-            # an identity even in f32 where recomputed weights carry
-            # roundoff
-            unmoved = ((po[:, 0] == 0) & (po[:, 1] == 0))[:, None]
-            self_pix = (start
-                        + jnp.arange(po.shape[0],
-                                     dtype=cpix.dtype))[:, None]
-            first = jnp.arange(4) == 0
-            cpix = jnp.where(unmoved,
-                             jnp.where(first[None, :], self_pix, 0), cpix)
-            cw = jnp.where(unmoved,
-                           jnp.where(first[None, :], rdt(1.0), rdt(0.0)),
-                           cw)
-            return cpix, cw
+            return BaryonifyShell._weights_chunk(NSIDE, rdt, start, po, ab)
 
         # accumulate in rdt: with f32 the summed-map error is ~1e-7
         # relative — far inside the reference's np.isclose conservation
@@ -628,8 +603,87 @@ class BaryonifyShell(DefaultRunner):
         out = base.at[cpix.reshape(-1)].add((cw * src[:, None]).reshape(-1))
         return out[:npix]
 
+    @staticmethod
+    def _weights_chunk(NSIDE, rdt, start, po, ab):
+        """Displaced 4-neighbour (pixels, weights) for one source chunk."""
+        theta_p = ab[:, 0]
+        phi_p = ab[:, 1]
+        sin_t = jnp.sin(theta_p)
+        sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
+        theta = theta_p + po[:, 0].astype(rdt)
+        phi = phi_p + po[:, 1].astype(rdt) / sin_safe
+        # reflect pole overshoots back into [0, pi]; a reflection passes
+        # through the pole, so phi flips by pi (the reference's 3D-vector
+        # normalize handles this implicitly, HealpixRunner.py:357-365)
+        over = (theta < 0) | (theta > jnp.pi)
+        theta = jnp.abs(theta)
+        theta = jnp.where(theta > jnp.pi, 2 * jnp.pi - theta, theta)
+        phi = jnp.where(over, phi + jnp.pi, phi)
+        cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
+        # untouched pixels (zero offset) map to themselves EXACTLY — an
+        # identity even in f32 where recomputed weights carry roundoff
+        unmoved = ((po[:, 0] == 0) & (po[:, 1] == 0))[:, None]
+        self_pix = (start
+                    + jnp.arange(po.shape[0], dtype=cpix.dtype))[:, None]
+        first = jnp.arange(4) == 0
+        cpix = jnp.where(unmoved,
+                         jnp.where(first[None, :], self_pix, 0), cpix)
+        cw = jnp.where(unmoved,
+                       jnp.where(first[None, :], rdt(1.0), rdt(0.0)), cw)
+        return cpix, cw
+
+    @staticmethod
+    def _phase_b_mesh(NSIDE, npix, rdt, mesh, ang_base, pix_offsets, orig,
+                      chunk_cap=(1 << 24)):
+        """Mesh phase B: shard the source-pixel chunks across devices,
+        each device scatters into a local full-size partial map, psum over
+        ICI at the end (the map-reduction pattern of the reference's
+        SplitJoinParallel, utils/Parallelize.py:297-320)."""
+        from jax.sharding import PartitionSpec as P
+
+        ndev = mesh.devices.size
+        n_chunks = ndev
+        while npix // n_chunks > chunk_cap or npix % n_chunks:
+            n_chunks += ndev
+        C = npix // n_chunks
+        k = n_chunks // ndev
+
+        def local(po_l, ab_l, og_l):
+            # po_l etc are this device's (k*C, ...) slab
+            def body(acc, i):
+                zero = jnp.zeros((), dtype=jnp.int32)
+                po = jax.lax.dynamic_slice(po_l, (i * C, zero), (C, 2))
+                ab = jax.lax.dynamic_slice(ab_l, (i * C, zero), (C, 2))
+                og = jax.lax.dynamic_slice(og_l, (i * C,), (C,))
+                start = (jax.lax.axis_index("halos") * k + i) * C
+                cpix, cw = BaryonifyShell._weights_chunk(
+                    NSIDE, rdt, start, po, ab)
+                contrib = cw * og.astype(rdt)[:, None]
+                return acc.at[cpix.reshape(-1)].add(
+                    contrib.reshape(-1)), None
+
+            # carry must be axis-varying inside shard_map (it mixes with
+            # per-device slabs)
+            acc = jax.lax.pvary(jnp.zeros(npix, dtype=rdt), ("halos",))
+            acc, _ = jax.lax.scan(body, acc,
+                                  jnp.arange(k, dtype=jnp.int32))
+            return jax.lax.psum(acc, "halos")
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("halos"), P("halos"), P("halos")),
+            out_specs=P()))
+        return fn(pix_offsets, ang_base, orig)
+
     def _regrid(self, NSIDE, npix, rdt, ang_base, pix_offsets, orig_dev):
         """Dispatch dense vs sparse regrid on the moved-pixel count."""
+        if self.mesh is not None:
+            bkey = ("phase_b_mesh", NSIDE, npix, str(rdt),
+                    self.mesh.devices.size)
+            if bkey not in self._compiled:
+                self._compiled[bkey] = partial(self._phase_b_mesh, NSIDE,
+                                               npix, rdt, self.mesh)
+            return self._compiled[bkey](ang_base, pix_offsets, orig_dev)
         ckey = ("moved_count", npix)
         if ckey not in self._compiled:
             self._compiled[ckey] = jax.jit(lambda po: (
@@ -885,7 +939,8 @@ class PaintProfilesShell(DefaultRunner):
                 np.maximum(curves, -80.0)).astype(self.dtype)
             run = _tiles.make_tile_deposit(tiling, curves.shape[1],
                                            mode="paint", dtype=self.dtype,
-                                           log_curves=True)
+                                           log_curves=True,
+                                           mesh=self.mesh)
             for k in [k for k in self._compiled if k[0] == "tilepack"]:
                 del self._compiled[k]
             self._compiled[pkey] = (pack, run)

@@ -296,7 +296,7 @@ def bin_halos_to_tiles(tiling, theta, phi, radius, margin_pix=2.0):
 
 def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                       h_chunk=64, t_chunk=256, log_curves=False,
-                      lookup="auto"):
+                      lookup="auto", mesh=None, mesh_axis="halos"):
     """Build the dense per-tile pair kernel (the scatter-free phase A).
 
     Returns ``run(bucket, halo_pack, extra) -> (tile_ids, out)`` where
@@ -414,6 +414,8 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             return (s0 + jnp.sum(d, axis=0), s0, s0), None
 
         z = jnp.zeros(P, dtype=dtype)
+        if mesh is not None:     # carry mixes with sharded inputs
+            z = jax.lax.pvary(z, (mesh_axis,))
         (s0, sth, sph), _ = jax.lax.scan(h_body, (z, z, z), hidx_c)
         if displace:
             out = jnp.stack([s0 * a_th - sth, s0 * a_ph - sph], axis=-1)
@@ -431,7 +433,21 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
         out = jax.lax.map(chunk, (tid, hid))
         return out.reshape((-1,) + out.shape[2:])
 
-    jitted = jax.jit(run_all)
+    if mesh is None:
+        jitted = jax.jit(run_all)
+        ndev = 1
+    else:
+        # tiles are disjoint: shard the chunk axis across devices with
+        # NO collective (each device owns its chunks' output rows; the
+        # caller's accumulator add handles any resharding)
+        from jax.sharding import PartitionSpec as _PS
+
+        ndev = mesh.devices.size
+        jitted = jax.jit(jax.shard_map(
+            run_all, mesh=mesh,
+            in_specs=(_PS(mesh_axis), _PS(mesh_axis), _PS(), _PS(),
+                      _PS()),
+            out_specs=_PS(mesh_axis)))
     _dev_cache = {}
 
     def run(bucket, pack, ln_r0, inv_dlnr):
@@ -445,7 +461,7 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             Hp = (-(-H // 8) * 8 if H <= h_chunk
                   else -(-H // h_chunk) * h_chunk)
             Tp = min(t_chunk, max(8, T))
-            nch = -(-T // Tp)
+            nch = -(-(-(-T // Tp)) // ndev) * ndev   # ceil to ndev multiple
             hid = np.full((nch * Tp, Hp), -1, dtype=np.int32)
             hid[:T, :H] = hidx_np
             tid = np.zeros(nch * Tp, dtype=np.int32)

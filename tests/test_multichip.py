@@ -46,8 +46,27 @@ def test_sharded_baryonify_matches_single_device():
                                     deposit="scatter").process()
     mesh = parallel.halo_mesh(8)
     sharded = Runners.BaryonifyShell(cat, shell, epsilon_max=20, model=model,
-                                     halo_batch=8, mesh=mesh).process()
+                                     halo_batch=8, mesh=mesh,
+                                     deposit="scatter").process()
     np.testing.assert_allclose(sharded, single, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(sharded.sum(), raw.sum(), rtol=1e-8)
+
+
+def test_tiled_mesh_matches_tiled_single():
+    """The tiled deposit sharded over the mesh must reproduce the
+    single-device tiled result (same algorithm; only f32 reduction order
+    differs across shards)."""
+    cat, model = _setup()
+    raw = RNG.exponential(1.0, NPIX)
+    shell = utils.LightconeShell(map=raw, cosmo=COSMO_DICT)
+    single = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                    model=model, halo_batch=8).process()
+    mesh = parallel.halo_mesh(8)
+    sharded = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                     model=model, halo_batch=8,
+                                     mesh=mesh).process()
+    scale = np.abs(single - raw).max()
+    np.testing.assert_allclose(sharded, single, atol=1e-4 * scale)
     np.testing.assert_allclose(sharded.sum(), raw.sum(), rtol=1e-8)
 
 
