@@ -16,9 +16,12 @@ Conventions mirrored from the reference:
   * 2D ellipticity via the galsim-style shear matrix (Map2DRunner.py:281-350)
 
 Deviation: cutout radial grids use exact pixel-center offsets
-(i - w) * res + dx rather than the reference's approximate
-linspace(-N/2, N/2, N) spacing, and the map axes are used self-consistently
-(axis 0 = x). Painted fields agree to sub-pixel accuracy.
+(i - w) * res + dx rather than the reference's linspace(-N/2, N/2, N)
+spacing (which is stretched by N/(N-1) and drifts up to ~1.5 px from true
+centers at the cutout edge), and the map axes are used self-consistently
+(axis 0 = x). Painted fields agree wherever the profile is resolved
+(r > 2 res); near-center pixels differ because the reference evaluates a
+steep profile off-center (quantified in tests/test_grid_cutout_parity.py).
 """
 
 from functools import partial

@@ -70,6 +70,28 @@ def test_tiled_mesh_matches_tiled_single():
     np.testing.assert_allclose(sharded.sum(), raw.sum(), rtol=1e-8)
 
 
+def test_anis_shell_sharded_matches_single():
+    """PaintProfilesAnisShell accepts the full runner config (mesh, ...)
+    and its sharded output equals the single-device one."""
+    cat, _ = _setup()
+    tab = utils.TabulatedProfile(Profiles.DarkMatter(
+        **bpar_S19, proj_cutoff=50), COSMO)
+    tab.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=3,
+                           M_min=1e13, M_max=3e15, N_samples_Mass=5,
+                           R_min=1e-3, R_max=60, N_samples_R=32,
+                           verbose=False)
+    shell = utils.LightconeShell(map=RNG.exponential(1.0, NPIX),
+                                 cosmo=COSMO_DICT, redshift=0.25)
+    kw = dict(epsilon_max=5, model=tab, Tracer_model=tab, Mtot_model=tab,
+              background_val=1.0, global_tracer_fraction=0.1,
+              halo_batch=8, verbose=False)
+    single = Runners.PaintProfilesAnisShell(cat, shell, **kw).process()
+    sharded = Runners.PaintProfilesAnisShell(
+        cat, shell, mesh=parallel.halo_mesh(8), **kw).process()
+    np.testing.assert_allclose(sharded, single, rtol=1e-10, atol=1e-10
+                               * np.abs(single).max())
+
+
 def test_simple_parallel_concurrent_matches_sequential():
     """SimpleParallel must produce the same per-runner outputs as a
     sequential loop while spreading runners over devices."""
