@@ -44,7 +44,8 @@ class DefaultRunner:
                  mass_def=_massdef.MassDef200c, include_pixel_size=False,
                  verbose=True, halo_batch=4096, dtype=jnp.float32,
                  mesh=None, n_size_buckets=4, pixel_budget=4_000_000,
-                 regrid_dtype=jnp.float64, deposit="auto"):
+                 regrid_dtype=jnp.float64, deposit="auto",
+                 regrid="auto"):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -68,6 +69,11 @@ class DefaultRunner:
         # (ops/tiles.py; needs per-halo curves), "scatter" = flat
         # .at[].add accumulation, "auto" = tiles when available
         self.deposit = deposit
+        # phase-B algorithm: "stencil" = gather stencil over tiles with a
+        # scatter fallback for hot/irregular tiles (single-device, tiled
+        # phase A only), "scatter" = the chunked scatter regrid, "auto" =
+        # stencil when available
+        self.regrid = regrid
         # compiled-kernel cache: closures are rebuilt on every process()
         # call, so jit identity alone would recompile each time; we key
         # compiled executables by static shape info instead
@@ -479,7 +485,8 @@ class BaryonifyShell(DefaultRunner):
 
         return make_body
 
-    def _tiled_phase_a(self, hd, extras, curve_meta, NSIDE, npix):
+    def _tiled_phase_a(self, hd, extras, curve_meta, NSIDE, npix,
+                       return_acc=False):
         from ..ops import tiles as _tiles
 
         tiling = self._get_tiling(NSIDE)
@@ -507,9 +514,9 @@ class BaryonifyShell(DefaultRunner):
         for bucket in buckets:
             tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
             acc = acc.at[jnp.asarray(tids)].add(out)
-        po = self._tile_flat_gather(tiling, npix, acc)
 
         # small halos: old scatter path on just those (if any)
+        po_small = None
         if small.any():
             idx = np.where(small)[0]
             hd_s = {k: v[idx] for k, v in hd.items()}
@@ -517,9 +524,110 @@ class BaryonifyShell(DefaultRunner):
             make_body = self._make_body_factory(NSIDE, npix, [], curve_meta)
             acc_s = self._bucketed_accumulate(
                 make_body, hd_s, ex_s, (2 * (npix + 1),), self.dtype, NSIDE)
-            po = po + jnp.stack(
+            po_small = jnp.stack(
                 [acc_s[:npix], acc_s[npix + 1:2 * npix + 1]], axis=1)
+
+        if return_acc:
+            if po_small is not None:
+                vkey = ("tileview_po", NSIDE)
+                if vkey not in self._compiled:
+                    self._compiled[vkey] = jax.jit(tiling.tile_view)
+                acc = acc + self._compiled[vkey](po_small)
+            return acc
+        po = self._tile_flat_gather(tiling, npix, acc)
+        if po_small is not None:
+            po = po + po_small
         return po
+
+    # ------------------------------------------------------------------
+    # Stencil phase B (ops/tiles.make_stencil_regrid): the regrid as a
+    # gather stencil over tiles; only tiles whose offsets exceed the
+    # window (detected on device) or sit in geometrically irregular
+    # regions fall back to the scatter deposit.
+    # ------------------------------------------------------------------
+    def _regrid_stencil(self, NSIDE, npix, rdt, acc, orig_dev):
+        from ..ops import tiles as _tiles
+
+        tiling = self._get_tiling(NSIDE)
+        P = tiling.RB * tiling.K
+        skey = ("stencilrun", NSIDE, str(rdt))
+        if skey not in self._compiled:
+            run, info = _tiles.make_stencil_regrid(tiling, rdt=rdt)
+            tb = tiling.tile_block
+            thth = jnp.asarray(info["th_theta"][tb])
+            thph = jnp.asarray(info["th_phi"][tb])
+            Dg = jnp.asarray(info["D_geom"])
+            hot_fn = jax.jit(lambda a: (
+                (jnp.abs(a[:, :, 0]).max(axis=1) > thth)
+                | (jnp.abs(a[:, :, 1]).max(axis=1) > thph) | Dg))
+            self._compiled[skey] = (run, hot_fn)
+        run, hot_fn = self._compiled[skey]
+
+        okey = ("origtiled", NSIDE, str(rdt))
+        if okey not in self._compiled:
+            self._compiled[okey] = jax.jit(
+                lambda m: tiling.tile_view(m.astype(rdt)))
+        otkey = ("origtiled_val", id(self.LightconeShell.map))
+        if otkey not in self._compiled:
+            for k in [k for k in self._compiled
+                      if k[0] == "origtiled_val"]:
+                del self._compiled[k]
+            self._compiled[otkey] = self._compiled[okey](orig_dev)
+        orig_tiled = self._compiled[otkey]
+
+        excl = hot_fn(acc)
+        out_tiled = run(acc, orig_tiled, excl)
+
+        # scatter complement over the excluded tiles: compute the (small)
+        # (pixel, weight) pairs first so the big acc buffer can be freed
+        # before the memory-hungry flat view
+        ids = np.where(np.asarray(excl))[0].astype(np.int32)
+        S = 8
+        while S < ids.size:
+            S *= 2
+        tids = np.full(S, -1, dtype=np.int32)
+        tids[:ids.size] = ids
+        ckey = ("stencil_compl", NSIDE, str(rdt), S)
+        if ckey not in self._compiled:
+            RB, K = tiling.RB, tiling.K
+            ti0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
+            tss = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
+            tSS = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
+
+            def compl_pairs(acc, orig_tiled, tids):
+                def one(tid):
+                    ok = tid >= 0
+                    t = jnp.maximum(tid, 0)
+                    pix, phi, valid, theta_r = tiling.slot_pixels(
+                        ti0[t], tss[t], tSS[t])
+                    theta_p = jnp.broadcast_to(
+                        theta_r[:, None], (RB, K)).astype(rdt)
+                    po = acc[t].reshape(RB, K, 2)
+                    og = orig_tiled[t].reshape(RB, K)
+                    cpix, cw = BaryonifyShell._weights_for(
+                        NSIDE, rdt, pix, po, theta_p, phi.astype(rdt))
+                    m = valid & ok
+                    val = jnp.where(m, og, 0.0)
+                    cpix = jnp.where(m[..., None], cpix, npix)
+                    return (cpix.reshape(-1),
+                            (cw * val[..., None].astype(rdt)).reshape(-1))
+
+                cpix, vals = jax.vmap(one)(tids)
+                return cpix.reshape(-1), vals.reshape(-1)
+
+            def add_pairs(flat, cpix, vals):
+                out = jnp.concatenate([flat, jnp.zeros(1, dtype=rdt)])
+                return out.at[cpix].add(vals)[:npix]
+
+            self._compiled[ckey] = (jax.jit(compl_pairs),
+                                    jax.jit(add_pairs, donate_argnums=0))
+        compl_pairs, add_pairs = self._compiled[ckey]
+        cpix, vals = compl_pairs(acc, orig_tiled, jnp.asarray(tids))
+        cpix.block_until_ready()
+        del acc, excl                            # free 2 npix-scale buffers
+        flat = self._tile_flat_gather(tiling, npix, out_tiled)
+        del out_tiled
+        return add_pairs(flat, cpix, vals)
 
     @staticmethod
     def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig,
@@ -604,14 +712,13 @@ class BaryonifyShell(DefaultRunner):
         return out[:npix]
 
     @staticmethod
-    def _weights_chunk(NSIDE, rdt, start, po, ab):
-        """Displaced 4-neighbour (pixels, weights) for one source chunk."""
-        theta_p = ab[:, 0]
-        phi_p = ab[:, 1]
+    def _weights_for(NSIDE, rdt, self_pix, po, theta_p, phi_p):
+        """Displaced 4-neighbour (pixels, weights) for arbitrary sources
+        identified by their own pixel ids ``self_pix``."""
         sin_t = jnp.sin(theta_p)
         sin_safe = jnp.where(sin_t > 1e-12, sin_t, 1.0)
-        theta = theta_p + po[:, 0].astype(rdt)
-        phi = phi_p + po[:, 1].astype(rdt) / sin_safe
+        theta = theta_p + po[..., 0].astype(rdt)
+        phi = phi_p + po[..., 1].astype(rdt) / sin_safe
         # reflect pole overshoots back into [0, pi]; a reflection passes
         # through the pole, so phi flips by pi (the reference's 3D-vector
         # normalize handles this implicitly, HealpixRunner.py:357-365)
@@ -622,15 +729,20 @@ class BaryonifyShell(DefaultRunner):
         cpix, cw = hpx.get_interp_weights(NSIDE, theta, phi, rdt)
         # untouched pixels (zero offset) map to themselves EXACTLY — an
         # identity even in f32 where recomputed weights carry roundoff
-        unmoved = ((po[:, 0] == 0) & (po[:, 1] == 0))[:, None]
-        self_pix = (start
-                    + jnp.arange(po.shape[0], dtype=cpix.dtype))[:, None]
+        unmoved = ((po[..., 0] == 0) & (po[..., 1] == 0))[..., None]
         first = jnp.arange(4) == 0
         cpix = jnp.where(unmoved,
-                         jnp.where(first[None, :], self_pix, 0), cpix)
+                         jnp.where(first, self_pix[..., None], 0), cpix)
         cw = jnp.where(unmoved,
-                       jnp.where(first[None, :], rdt(1.0), rdt(0.0)), cw)
+                       jnp.where(first, rdt(1.0), rdt(0.0)), cw)
         return cpix, cw
+
+    @staticmethod
+    def _weights_chunk(NSIDE, rdt, start, po, ab):
+        """Displaced 4-neighbour (pixels, weights) for one source chunk."""
+        self_pix = start + jnp.arange(po.shape[0], dtype=jnp.int32)
+        return BaryonifyShell._weights_for(NSIDE, rdt, self_pix, po,
+                                           ab[:, 0], ab[:, 1])
 
     @staticmethod
     def _phase_b_mesh(NSIDE, npix, rdt, mesh, ang_base, pix_offsets, orig,
@@ -763,7 +875,27 @@ class BaryonifyShell(DefaultRunner):
                 del self._compiled[k]
             self._compiled[hkey] = (hd, extras, curve_meta)
 
-        if self._tiles_available(curve_meta):
+        use_tiles = self._tiles_available(curve_meta)
+        use_stencil = (use_tiles and self.mesh is None
+                       and self.regrid in ("auto", "stencil"))
+        rdt = self.regrid_dtype
+        if use_stencil:
+            old_sum = orig_map.sum()
+            orig_dev = self._device_map(orig_map, rdt, old_sum)
+            # pass acc ownership: _regrid_stencil frees it before the
+            # memory-peak flat view (NSIDE=4096 works in ~2 GB buffers)
+            new_map = np.asarray(self._regrid_stencil(
+                NSIDE, npix, rdt,
+                self._tiled_phase_a(hd, extras, curve_meta, NSIDE, npix,
+                                    return_acc=True),
+                orig_dev))
+            new_sum = float(np.asarray(new_map, dtype=np.float64).sum())
+            assert np.isclose(new_sum, old_sum), (
+                "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
+                "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
+            return np.asarray(new_map, dtype=np.float64)
+
+        if use_tiles:
             pix_offsets = self._tiled_phase_a(hd, extras, curve_meta,
                                               NSIDE, npix)
         else:

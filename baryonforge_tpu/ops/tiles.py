@@ -117,6 +117,28 @@ class SkyTiling:
         phi = (jw.astype(jnp.float64) + 0.5 * sh[:, None]) * dphi[:, None]
         return pix, phi, valid, theta_r
 
+    def slot_pix(self, i0_t, s_t, S_t):
+        """Lean (pix, valid) of one tile's slots — int32 only (the full
+        slot_pixels also builds f64 angles, which at NSIDE=4096 across
+        all cap tiles is gigabytes of dead temporaries)."""
+        N = self.nside
+        RB, K = self.RB, self.K
+        u = jnp.arange(RB, dtype=jnp.int32)
+        i = i0_t.astype(jnp.int32) + u
+        ring_ok = (i >= 1) & (i <= 4 * N - 1)
+        i_c = jnp.clip(i, 1, 4 * N - 1)
+        sp, nr, _, sh = hpx.ring_info(N, i_c, jnp.float32)
+        sh_i = sh.astype(jnp.int32)
+        S = S_t.astype(jnp.int32)
+        s = s_t.astype(jnp.int32)
+        j0 = (2 * s * nr - sh_i * S + 2 * S - 1) // (2 * S)
+        j1 = (2 * (s + 1) * nr - sh_i * S + 2 * S - 1) // (2 * S)
+        v = jnp.arange(K, dtype=jnp.int32)
+        j = j0[:, None] + v[None, :]
+        valid = (v[None, :] < (j1 - j0)[:, None]) & ring_ok[:, None]
+        jw = jnp.where(j < nr[:, None], j, j - nr[:, None])
+        return sp[:, None] + jw, valid
+
     def slot_index(self, p):
         """Flat RING pixel id -> linear slot index into the
         (n_tiles * RB * K) tile-major layout. Closed-form int math (jnp).
@@ -168,6 +190,47 @@ class SkyTiling:
         v = j - j0
         return ((off + s) * RB + u) * K + v
 
+
+    def tile_view(self, flat):
+        """Inverse of :meth:`flat_view`: flat RING order -> tile-major
+        (n_tiles, RB*K, ...). Belt-exact blocks are a pure reshape+
+        transpose; cap tiles gather flat values at their analytic slot
+        pixels (invalid slots read 0)."""
+        N = self.nside
+        RB, K = self.RB, self.K
+        npix = 12 * N * N
+        trail = flat.shape[1:]
+        out = jnp.zeros((self.n_tiles, RB * K) + trail, dtype=flat.dtype)
+
+        blocks = np.where(self._belt_exact)[0]
+        cap_tiles = np.where(~self._belt_exact[self.tile_block])[0]
+        if blocks.size:
+            b0, b1 = int(blocks[0]), int(blocks[-1])
+            ncap = 2 * N * (N - 1)
+            ring0 = int(self.i0[b0])
+            ring1 = int(self.i0[b1]) + RB - 1
+            sp0 = ncap + (ring0 - N) * 4 * N
+            sp1 = ncap + (ring1 + 1 - N) * 4 * N
+            t0 = int(self.tile_off[b0])
+            t1 = int(self.tile_off[b1 + 1])
+            S = int(self.S[b0])
+            NB = b1 - b0 + 1
+            belt = flat[sp0:sp1].reshape((NB, RB, S, K) + trail)
+            belt = jnp.swapaxes(belt, 1, 2).reshape(
+                (t1 - t0, RB * K) + trail)
+            out = out.at[t0:t1].set(belt)
+        if cap_tiles.size:
+            pix, valid = jax.vmap(self.slot_pix)(
+                jnp.asarray(self.tile_i0[cap_tiles]),
+                jnp.asarray(self.tile_s[cap_tiles]),
+                jnp.asarray(self.tile_S[cap_tiles]))
+            pixf = jnp.where(valid, pix, 0).reshape(cap_tiles.size, RB * K)
+            vals = flat[pixf]
+            mask = valid.reshape(cap_tiles.size, RB * K)
+            vals = jnp.where(mask.reshape(mask.shape + (1,) * len(trail)),
+                             vals, 0)
+            out = out.at[jnp.asarray(cap_tiles)].set(vals)
+        return out
 
     def flat_view(self, acc):
         """Tile-major accumulator (n_tiles, RB*K, ...) -> flat RING order
@@ -419,8 +482,13 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
         (s0, sth, sph), _ = jax.lax.scan(h_body, (z, z, z), hidx_c)
         if displace:
             out = jnp.stack([s0 * a_th - sth, s0 * a_ph - sph], axis=-1)
+            vmask = valid.reshape(P)[:, None]
         else:
             out = s0
+            vmask = valid.reshape(P)
+        # dead slots (cap segments shorter than K) must hold EXACT zeros:
+        # the stencil regrid reads neighbouring tiles' storage directly
+        out = jnp.where(vmask, out, 0.0)
         return jnp.where(jnp.isfinite(out), out, 0.0)
 
     def run_all(tid, hid, pack, ln_r0, inv_dlnr):
@@ -513,3 +581,337 @@ def bucket_tiles(tile_ids, halo_ids, n_buckets=4, h_align=8):
         hidx[rows, cols] = h_sorted[src].astype(np.int32)
         buckets.append((utiles[sel].astype(np.int32), hidx))
     return buckets
+
+
+# ---------------------------------------------------------------------------
+# Stencil phase B: the global regrid as a gather stencil over tiles.
+#
+# Almost every source pixel's displaced position stays within a couple of
+# pixels of itself, so its 4-neighbour bilinear deposit can be computed from
+# the TARGET side: each target pixel sums the exact healpy interp weights of
+# the displaced sources in a small (ring, column) window around it — pure
+# fma math, no scatter. Sources that CAN displace further (tiles whose max
+# offset exceeds the window, detected on device) plus geometrically
+# irregular regions (inner polar caps, sector-count transitions) fall back
+# to the ordinary scatter deposit; dilation of the fallback set guarantees
+# every (source, target) pair is handled exactly once.
+# ---------------------------------------------------------------------------
+def stencil_host_info(tiling, W=2, Wc=5, i_min=128):
+    """Host precompute for the stencil regrid.
+
+    Returns dict with per-tile neighbour table (n_tiles, 3, 3) int32
+    (-1 where unusable), the geometric scatter-source mask D_geom
+    (bad tiles dilated by one tile), and per-block offset thresholds for
+    the device-side hot-tile test.
+    """
+    N = tiling.nside
+    RB = tiling.RB
+    nb = tiling.n_blocks
+    n_rings = 4 * N - 1
+
+    # block-level geometry flags
+    i0 = tiling.i0
+    i_hi = np.minimum(i0 + RB - 1, n_rings)
+    blk_bad = (i0 < i_min) | (i_hi > n_rings + 1 - i_min)
+    # the stencil's segment-placement select covers seg in [K-8, K]
+    # (including the W margin rings of the vertical neighbours)
+    K = tiling.K
+    nr_of0 = lambda i: np.where(i < N, 4 * i,
+                                np.where(i > 3 * N, 4 * (4 * N - i),
+                                         4 * N))
+    i_lo_m = np.clip(i0 - W - 1, 1, n_rings)
+    i_hi_m = np.clip(i_hi + W + 1, 1, n_rings)
+    nr_min_m = np.minimum(nr_of0(i_lo_m), nr_of0(i_hi_m))
+    seg_min = nr_min_m // np.maximum(tiling.S, 1)
+    blk_bad |= seg_min < K - 8
+    S = tiling.S
+    sameS_up = np.zeros(nb, bool)
+    sameS_dn = np.zeros(nb, bool)
+    sameS_up[1:] = S[1:] == S[:-1]
+    sameS_dn[:-1] = S[:-1] == S[1:]
+
+    tb = tiling.tile_block
+    ts = tiling.tile_s
+    tS = tiling.tile_S
+    off = tiling.tile_off[:-1]
+
+    nbr = np.full((tiling.n_tiles, 3, 3), -1, dtype=np.int32)
+    for db in (-1, 0, 1):
+        b2 = tb + db
+        ok = (b2 >= 0) & (b2 < nb)
+        if db == -1:
+            ok &= sameS_up[tb]
+        elif db == 1:
+            ok &= sameS_dn[tb]
+        for ds in (-1, 0, 1):
+            s2 = np.mod(ts + ds, tS)
+            tid2 = np.where(ok, off[np.clip(b2, 0, nb - 1)] + s2, -1)
+            nbr[:, db + 1, ds + 1] = tid2
+
+    tile_bad = blk_bad[tb]
+    # a tile missing any neighbour cannot assemble a full slab: treat the
+    # missing side's sources as absent (they are scatter-routed via the
+    # dilated mask below), so only geometric badness matters here.
+    D_geom = tile_bad.copy()
+    for db in range(3):
+        for ds in range(3):
+            n_ids = nbr[:, db, ds]
+            valid = n_ids >= 0
+            # dilate: any tile neighbouring a bad tile joins D_geom
+            bad_nbr = np.zeros_like(tile_bad)
+            bad_nbr[valid] = tile_bad[n_ids[valid]]
+            D_geom |= bad_nbr
+            # a bad tile's neighbour entry pointing AT a bad tile is fine
+    # tiles whose neighbour is missing while the geometry says it should
+    # exist (S transition): their cross-boundary sources are unreachable;
+    # scatter-route BOTH sides of such boundaries
+    miss_up = (nbr[:, 0, 1] < 0) & (tb > 0)
+    miss_dn = (nbr[:, 2, 1] < 0) & (tb < nb - 1)
+    edge = miss_up | miss_dn
+    D_geom |= edge
+    for db in range(3):
+        for ds in range(3):
+            n_ids = nbr[:, db, ds]
+            valid = n_ids >= 0
+            e_nbr = np.zeros_like(edge)
+            e_nbr[valid] = edge[n_ids[valid]]
+            D_geom |= e_nbr
+
+    # per-block hot thresholds: a source may move at most (W-1) ring
+    # spacings vertically and (Wc-2) columns horizontally to stay inside
+    # the stencil window (the -1/-2 absorb the interp bracket and cap
+    # column drift)
+    th_all = _ring_theta_np(N, np.arange(1, 4 * N))
+    dth = np.diff(th_all)
+    dth_blk = np.ones(nb) * dth.min()
+    for b in range(nb):
+        lo = max(int(i0[b]) - 2, 1) - 1
+        hi = min(int(i_hi[b]) + 2, n_rings - 1)
+        dth_blk[b] = dth[lo:hi].min() if hi > lo else dth.min()
+    # smallest ring (largest dphi) in/adjacent to the block governs the
+    # phi window; the smallest sin(theta) converts tangent-phi offsets
+    i_lo2 = np.clip(i0 - 2, 1, n_rings)
+    i_hi2 = np.clip(i_hi + 2, 1, n_rings)
+    nr_of = lambda i: np.where(i < N, 4 * i,
+                               np.where(i > 3 * N, 4 * (4 * N - i), 4 * N))
+    nr_min = np.minimum(nr_of(i_lo2), nr_of(i_hi2))
+    dphi_blk = 2.0 * np.pi / np.maximum(nr_min, 1)
+    sin_min = np.minimum(np.sin(th_all[i_lo2 - 1]),
+                         np.sin(th_all[i_hi2 - 1]))
+    th_theta = (W - 1) * dth_blk
+    # phi budget: (Wc - 3) columns (one for the interp bracket, one for
+    # cap column drift, one for sector-start misalignment); stored as a
+    # bound on the stored tangent-phi component |po_phi|
+    th_phi = (Wc - 3) * dphi_blk * np.maximum(sin_min, 1e-12)
+
+    return dict(nbr=nbr, D_geom=D_geom, th_theta=th_theta,
+                th_phi=th_phi, sin_min=sin_min, W=W, Wc=Wc)
+
+
+def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
+                        mesh=None, mesh_axis="halos"):
+    """Build the stencil-regrid kernel.
+
+    Returns ``run(po_tiled, orig_tiled, excl) -> out_tiled`` where
+    ``po_tiled`` is (n_tiles, RB*K, 2), ``orig_tiled`` (n_tiles, RB*K),
+    ``excl`` (n_tiles,) bool marking scatter-routed SOURCE tiles, and
+    ``out_tiled`` (n_tiles, RB*K) the stencil part of the regrid (the
+    caller adds the scatter part of excl-tile sources separately).
+    """
+    N = tiling.nside
+    RB, K = tiling.RB, tiling.K
+    P = RB * K
+    info = stencil_host_info(tiling, W=W, Wc=Wc)
+    nbr_d = jnp.asarray(info["nbr"].reshape(tiling.n_tiles, 9))
+    tile_i0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
+    tile_s = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
+    tile_S = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
+    M = W
+
+    def row_geometry(i0_t, s_t, S_t):
+        """Per-slab-row ring data, rows = i0_t - M .. i0_t + RB + M - 1.
+
+        Returns also the left/right neighbour segment offsets needed to
+        place their storage rows into the slab's continuous j-space
+        (cap-block segments vary between K-2 and K, so the placement is
+        per-row data).
+        """
+        r = i0_t + jnp.arange(-M, RB + M, dtype=jnp.int32)
+        r_ok = (r >= 1) & (r <= 4 * N - 1)
+        r_c = jnp.clip(r, 1, 4 * N - 1)
+        sp, nr, _, sh = hpx.ring_info(N, r_c, jnp.float64)
+        theta = hpx.ring_theta(N, r_c, jnp.float64).astype(rdt)
+        sh_i = sh.astype(jnp.int32)
+        S = S_t
+        sm = jnp.mod(s_t - 1, S)
+        sp1 = jnp.mod(s_t + 1, S)
+
+        def j0_of(ss):
+            return (2 * ss * nr - sh_i * S + 2 * S - 1) // (2 * S)
+
+        j0c = j0_of(s_t)
+        j1c = j0_of(s_t + 1)            # note: s_t+1 un-modded = j0c+seg
+        segC = j1c - j0c
+        # left segment length (mod nr handles the wrap at s=0)
+        segL = jnp.mod(j0c - j0_of(sm), nr)
+        dphi = (2.0 * jnp.pi / nr).astype(rdt)
+        phi0 = (j0c.astype(rdt) + 0.5 * sh.astype(rdt)) * dphi
+        return r_ok, theta, dphi, phi0, segC, segL
+
+    def one_tile(tid, po_t, orig_t, excl):
+        parts = nbr_d[tid]                       # (9,)
+        pvalid = parts >= 0
+        pc = jnp.maximum(parts, 0)
+        po9 = po_t[pc].reshape(3, 3, RB, K, 2)
+        og9 = orig_t[pc].reshape(3, 3, RB, K)
+        ex9 = (excl[pc] | ~pvalid).reshape(3, 3)
+        og9 = jnp.where(ex9[:, :, None, None], 0.0, og9)
+        ok9 = (~ex9)[:, :, None, None]
+
+        r_ok, theta_r, dphi_r, phi0_r, segC, segL = row_geometry(
+            tile_i0[tid], tile_s[tid], tile_S[tid])
+
+        # vertical stack of storage rows (rings align across blocks)
+        def vstack(col):
+            po = jnp.concatenate([po9[0, col][RB - M:], po9[1, col],
+                                  po9[2, col][:M]], axis=0)
+            og = jnp.concatenate(
+                [jnp.where(ok9[0, col], og9[0, col], 0.0)[RB - M:],
+                 jnp.where(ok9[1, col], og9[1, col], 0.0),
+                 jnp.where(ok9[2, col], og9[2, col], 0.0)[:M]], axis=0)
+            return po, og                    # (RB+2M, K, ...)
+
+        poL, ogL = vstack(0)
+        poC, ogC = vstack(1)
+        poR, ogR = vstack(2)
+
+        # place the three segments into the slab's continuous j-space:
+        # slab col q corresponds to j = j0c + (q - Wc). Center storage v
+        # sits at q = Wc + v (valid v < segC). Left storage v sits at
+        # q = Wc - segL + v (valid v < segL). Right storage v sits at
+        # q = Wc + segC + v. segC/segL vary in {K-2..K}: select among the
+        # three statically shifted placements.
+        Q = K + 2 * Wc
+        q = jnp.arange(Q, dtype=jnp.int32)
+
+        def shift_static(arr, s):
+            """out[..., q] = arr[..., q - s] (zero outside), s python int;
+            arr (..., K, ...) along axis 1, out length Q."""
+            lo = max(-s, 0)
+            hi = min(K, Q - s)
+            if hi <= lo:
+                return jnp.zeros(arr.shape[:1] + (Q,) + arr.shape[2:],
+                                 dtype=arr.dtype)
+            sl = arr[:, lo:hi]
+            lpad = lo + s
+            rpad = Q - lpad - (hi - lo)
+            pads = [(0, 0), (lpad, rpad)] + [(0, 0)] * (arr.ndim - 2)
+            return jnp.pad(sl, pads)
+
+        def place(po_p, og_p, start_of, sel_vec, valid_len=None):
+            """Select per row among the three possible static placements
+            (segment lengths are in {K-2, K-1, K}); optionally clip the
+            part to its own valid slot range first."""
+            if valid_len is not None:
+                vmask = jnp.arange(K)[None, :] < valid_len[:, None]
+                og_p = jnp.where(vmask, og_p, 0.0)
+                po_p = jnp.where(vmask[:, :, None], po_p, 0.0)
+            og_out = jnp.zeros((og_p.shape[0], Q), dtype=og_p.dtype)
+            po_out = jnp.zeros((po_p.shape[0], Q, 2), dtype=po_p.dtype)
+            # cap-block segment lengths vary with each ring's nr: cover
+            # the full possible range (eligibility guarantees seg >= K-8,
+            # see stencil_host_info)
+            for d in range(K - 8, K + 1):
+                selr = (sel_vec == d)[:, None]
+                og_out = jnp.where(selr, shift_static(og_p, start_of(d)),
+                                   og_out)
+                po_out = jnp.where(selr[:, :, None],
+                                   shift_static(po_p, start_of(d)),
+                                   po_out)
+            return og_out, po_out
+
+        # left: start = Wc - segL, clip to its own segL slots
+        ogLs, poLs = place(poL, ogL, lambda d: Wc - d, segL,
+                           valid_len=segL)
+        # center: fixed placement at Wc, clip to segC
+        cm = jnp.arange(K)[None, :] < segC[:, None]
+        ogCs = shift_static(jnp.where(cm, ogC, 0.0), Wc)
+        poCs = shift_static(jnp.where(cm[:, :, None], poC, 0.0), Wc)
+        # right: start = Wc + segC; its dead slots are zero in the
+        # accumulator (phase A masks invalid slots)
+        ogRs, poRs = place(poR, ogR, lambda d: Wc + d, segC)
+        og_s = ogLs + ogCs + ogRs
+        po_s = poLs + poCs + poRs                        # (rows, Q, 2)
+
+        v = q - Wc
+        phi_s = phi0_r[:, None] + (v[None, :].astype(rdt)
+                                   * dphi_r[:, None])
+        sin_r = jnp.sin(theta_r)
+        theta_src = theta_r[:, None] + po_s[:, :, 0].astype(rdt)
+        sin_safe = jnp.where(sin_r > 1e-12, sin_r, 1.0)
+        phi_src = phi_s + po_s[:, :, 1].astype(rdt) / sin_safe[:, None]
+        val_src = jnp.where(r_ok[:, None], og_s.astype(rdt), 0.0)
+
+        # per-target-row theta brackets
+        th_t = theta_r[M:M + RB]                # (RB,)
+        th_up = theta_r[M - 1:M + RB - 1]
+        th_dn = theta_r[M + 1:M + RB + 1]
+        dm = jnp.maximum(th_t - th_up, 1e-30)
+        dp = jnp.maximum(th_dn - th_t, 1e-30)
+        dphi_t = dphi_r[M:M + RB]
+        phi0_t = phi0_r[M:M + RB]
+
+        out = jnp.zeros((RB, K), dtype=rdt)
+        vt = jnp.arange(K, dtype=jnp.int32)
+        phi_tgt = phi0_t[:, None] + vt[None, :].astype(rdt) \
+            * dphi_t[:, None]
+
+        for du in range(-M, M + 1):
+            for dv in range(-Wc, Wc + 1):
+                ts_ = theta_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
+                ps_ = phi_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
+                vs_ = val_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
+                d = ts_ - th_t[:, None]
+                wth = jnp.where(
+                    d <= 0, jnp.maximum(0.0, 1.0 + d / dm[:, None]),
+                    jnp.maximum(0.0, 1.0 - d / dp[:, None]))
+                dphi = ps_ - phi_tgt
+                dphi = dphi - 2.0 * jnp.pi * jnp.round(
+                    dphi / (2.0 * jnp.pi))
+                wph = jnp.maximum(0.0, 1.0 - jnp.abs(dphi)
+                                  / dphi_t[:, None])
+                out = out + wth * wph * vs_
+        return out.reshape(P)
+
+    def run_all(tid, po_t, orig_t, excl):
+        def chunk(t):
+            return jax.vmap(lambda ti: one_tile(ti, po_t, orig_t,
+                                                excl))(t)
+        out = jax.lax.map(chunk, tid)
+        return out.reshape(-1, P)
+
+    if mesh is None:
+        jitted = jax.jit(run_all)
+        ndev = 1
+    else:
+        from jax.sharding import PartitionSpec as _PS
+        ndev = mesh.devices.size
+        jitted = jax.jit(jax.shard_map(
+            run_all, mesh=mesh,
+            in_specs=(_PS(mesh_axis), _PS(), _PS(), _PS()),
+            out_specs=_PS(mesh_axis)))
+
+    n_tiles = tiling.n_tiles
+    Tp = min(t_chunk, n_tiles)
+    nch = -(-(-(-n_tiles // Tp)) // ndev) * ndev
+    tid_np = np.zeros(nch * Tp, dtype=np.int32)
+    tid_np[:n_tiles] = np.arange(n_tiles)
+    tid_d = jnp.asarray(tid_np.reshape(nch, Tp))
+
+    def run(po_tiled, orig_tiled, excl):
+        po_t = po_tiled.reshape(n_tiles, RB, K, 2)
+        og_t = orig_tiled.reshape(n_tiles, RB, K)
+        out = jitted(tid_d, po_t, og_t, excl)
+        return out[:n_tiles]
+
+    return run, info

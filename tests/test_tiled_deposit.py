@@ -63,6 +63,38 @@ def test_tiled_matches_scatter():
     assert np.abs(out_t - out_s).sum() < 3e-3 * moved
 
 
+def test_stencil_regrid_matches_scatter_phase_b():
+    """The stencil phase B must reproduce the chunked scatter regrid for
+    the same tiled phase-A offsets (identical weights by construction;
+    only f64 summation order differs)."""
+    cat, shell, model = _setup(nside=64, n_halos=40)
+    kw = dict(epsilon_max=20, model=model, halo_batch=16, verbose=False)
+    out_sc = Runners.BaryonifyShell(cat, shell, regrid="scatter",
+                                    **kw).process()
+    out_st = Runners.BaryonifyShell(cat, shell, regrid="stencil",
+                                    **kw).process()
+    orig = np.asarray(shell.map)
+    np.testing.assert_allclose(out_st.sum(), orig.sum(), rtol=1e-10)
+    scale = np.abs(out_sc - orig).max()
+    assert scale > 0
+    np.testing.assert_allclose(out_st, out_sc, atol=1e-9 * scale)
+
+
+def test_stencil_regrid_cap_blocks():
+    """Exercise cap-block stencil rows (i_min below the cap boundary):
+    NSIDE=256 puts eligible cap rings in play."""
+    cat, shell, model = _setup(nside=256, n_halos=25)
+    kw = dict(epsilon_max=20, model=model, halo_batch=16, verbose=False)
+    out_sc = Runners.BaryonifyShell(cat, shell, regrid="scatter",
+                                    **kw).process()
+    out_st = Runners.BaryonifyShell(cat, shell, regrid="stencil",
+                                    **kw).process()
+    orig = np.asarray(shell.map)
+    np.testing.assert_allclose(out_st.sum(), orig.sum(), rtol=1e-10)
+    scale = np.abs(out_sc - orig).max()
+    np.testing.assert_allclose(out_st, out_sc, atol=1e-9 * scale)
+
+
 def test_tiled_paint_matches_scatter():
     cat, shell, _ = _setup(nside=64, n_halos=30)
     cosmo = bcosmo.cosmology_from_dict(COSMO_DICT)
