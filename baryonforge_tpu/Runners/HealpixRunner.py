@@ -23,6 +23,7 @@ The mass-conservation tripwire (sum(new) == sum(old),
 HealpixRunner.py:367-370) is kept as a host-side check.
 """
 
+import time
 from functools import partial
 import numpy as np
 import jax
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 
 from ..cosmo import core as _core
 from ..cosmo import massdef as _massdef
+from ..ops import compat
 from ..ops import healpix as hpx
 
 __all__ = ["DefaultRunner", "BaryonifyShell", "PaintProfilesShell",
@@ -45,7 +47,7 @@ class DefaultRunner:
                  verbose=True, halo_batch=4096, dtype=jnp.float32,
                  mesh=None, n_size_buckets=4, pixel_budget=4_000_000,
                  regrid_dtype=jnp.float64, deposit="auto",
-                 regrid="auto"):
+                 regrid="auto", transfer="auto"):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -74,6 +76,15 @@ class DefaultRunner:
         # phase A only), "scatter" = the chunked scatter regrid, "auto" =
         # stencil when available
         self.regrid = regrid
+        # result-download strategy: "sparse" = download only the pixel
+        # blocks the run actually changed (ops/transfer.py; lossless,
+        # exploits the slow host<->device tunnel), "dense" = plain
+        # np.asarray, "auto" = sparse when the map shape allows it
+        self.transfer = transfer
+        # per-process() wall-time split, for diagnosable benchmarks:
+        # {"compute_s": device work incl. host prep, "transfer_s":
+        #  device->host download of the result map}
+        self.timings = {}
         # compiled-kernel cache: closures are rebuilt on every process()
         # call, so jit identity alone would recompile each time; we key
         # compiled executables by static shape info instead
@@ -108,7 +119,7 @@ class DefaultRunner:
             def local(batches_local, varying=False):
                 acc = jnp.zeros(acc_shape, dtype=acc_dtype)
                 if varying:  # in shard_map the carry must be axis-varying
-                    acc = jax.lax.pvary(acc, ("halos",))
+                    acc = compat.pvary(acc, ("halos",))
                 acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
                 return acc
 
@@ -128,6 +139,46 @@ class DefaultRunner:
 
     def _n_batch_multiple(self):
         return 1 if self.mesh is None else self.mesh.devices.size
+
+    def _finish_map(self, out_dev, t_start, base_dev=None, base_host=None):
+        """Record the compute/transfer wall-time split and download the
+        result map (sparsely when possible)."""
+        out_dev.block_until_ready()
+        self.timings = {"compute_s": time.time() - t_start}
+        t0 = time.time()
+        out = self._fetch_map(out_dev, base_dev, base_host)
+        self.timings["transfer_s"] = time.time() - t0
+        return out
+
+    def _host_map(self, orig_map, rdt, host_sum):
+        """The cached host-side cast matching ``_device_map``'s upload
+        (filled by _device_map; None if not yet uploaded)."""
+        return self._compiled.get(
+            ("orighost", id(self.LightconeShell.map), orig_map.nbytes,
+             str(rdt), float(host_sum)))
+
+    def _fetch_map(self, new_dev, base_dev=None, base_host=None):
+        """Download a result map, sparsely when possible (ops/transfer).
+
+        ``base_dev``/``base_host`` are the device and host copies of the
+        map the result should be diffed against (the uploaded original
+        for baryonify; zeros — pass None — for paint)."""
+        npix = new_dev.shape[0]
+        if base_dev is not None and base_host is None:
+            return np.asarray(new_dev, dtype=np.float64)
+        # block sized so the bitmap stays ~1e3-1e4 entries; any HEALPix
+        # npix = 12*nside^2 with nside >= 8 divides by 768
+        block = next((b for b in (4096, 768)
+                      if npix % b == 0 and npix >= 64 * b), None)
+        if self.transfer in ("auto", "sparse") and block:
+            from ..ops.transfer import SparseMapFetcher
+            fkey = ("sparsefetch", npix, block)
+            if fkey not in self._compiled:
+                self._compiled[fkey] = SparseMapFetcher(npix, block=block)
+            return self._compiled[fkey].fetch(new_dev, base_dev,
+                                              base_host)
+        return np.asarray(new_dev, dtype=np.float64)
+
 
     # ------------------------------------------------------------------
     def _host_halo_data(self, cosmo_jax):
@@ -545,7 +596,8 @@ class BaryonifyShell(DefaultRunner):
     # window (detected on device) or sit in geometrically irregular
     # regions fall back to the scatter deposit.
     # ------------------------------------------------------------------
-    def _regrid_stencil(self, NSIDE, npix, rdt, acc, orig_dev):
+    def _regrid_stencil(self, NSIDE, npix, rdt, acc, orig_dev,
+                        host_sum=0.0):
         from ..ops import tiles as _tiles
 
         tiling = self._get_tiling(NSIDE)
@@ -567,7 +619,11 @@ class BaryonifyShell(DefaultRunner):
         if okey not in self._compiled:
             self._compiled[okey] = jax.jit(
                 lambda m: tiling.tile_view(m.astype(rdt)))
-        otkey = ("origtiled_val", id(self.LightconeShell.map))
+        # content-guarded like _device_map's ('origmap', ..., host_sum)
+        # key: in-place map mutation between process() calls must not
+        # reuse a stale tiled original
+        otkey = ("origtiled_val", id(self.LightconeShell.map),
+                 float(host_sum))
         if otkey not in self._compiled:
             for k in [k for k in self._compiled
                       if k[0] == "origtiled_val"]:
@@ -776,7 +832,7 @@ class BaryonifyShell(DefaultRunner):
 
             # carry must be axis-varying inside shard_map (it mixes with
             # per-device slabs)
-            acc = jax.lax.pvary(jnp.zeros(npix, dtype=rdt), ("halos",))
+            acc = compat.pvary(jnp.zeros(npix, dtype=rdt), ("halos",))
             acc, _ = jax.lax.scan(body, acc,
                                   jnp.arange(k, dtype=jnp.int32))
             return jax.lax.psum(acc, "halos")
@@ -840,15 +896,22 @@ class BaryonifyShell(DefaultRunner):
                str(rdt), float(host_sum))
         if key not in self._compiled:
             # drop stale uploads of other shells to cap device memory
-            for k in [k for k in self._compiled if k[0] == "origmap"]:
+            for k in [k for k in self._compiled
+                      if k[0] in ("origmap", "orighost")]:
                 del self._compiled[k]
-            self._compiled[key] = jnp.asarray(orig_map.astype(
-                np.float64 if rdt == jnp.float64 else np.float32))
+            host = orig_map.astype(
+                np.float64 if rdt == jnp.float64 else np.float32)
+            # the host-side cast is kept for the sparse result download:
+            # it is bitwise-identical to the device copy, so unchanged
+            # blocks never cross the link (ops/transfer.py)
+            self._compiled[("orighost",) + key[1:]] = host
+            self._compiled[key] = jnp.asarray(host)
         return self._compiled[key]
 
     def process(self):
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
+        t_start = time.time()
 
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
@@ -884,16 +947,19 @@ class BaryonifyShell(DefaultRunner):
             orig_dev = self._device_map(orig_map, rdt, old_sum)
             # pass acc ownership: _regrid_stencil frees it before the
             # memory-peak flat view (NSIDE=4096 works in ~2 GB buffers)
-            new_map = np.asarray(self._regrid_stencil(
+            new_dev = self._regrid_stencil(
                 NSIDE, npix, rdt,
                 self._tiled_phase_a(hd, extras, curve_meta, NSIDE, npix,
                                     return_acc=True),
-                orig_dev))
-            new_sum = float(np.asarray(new_map, dtype=np.float64).sum())
+                orig_dev, host_sum=old_sum)
+            new_map = self._finish_map(new_dev, t_start, orig_dev,
+                                       self._host_map(orig_map, rdt,
+                                                      old_sum))
+            new_sum = float(new_map.sum())
             assert np.isclose(new_sum, old_sum), (
                 "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
                 "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
-            return np.asarray(new_map, dtype=np.float64)
+            return new_map
 
         if use_tiles:
             pix_offsets = self._tiled_phase_a(hd, extras, curve_meta,
@@ -911,14 +977,19 @@ class BaryonifyShell(DefaultRunner):
         ang_base = self._pixel_angles(NSIDE, npix, rdt)
         old_sum = orig_map.sum()
         orig_dev = self._device_map(orig_map, rdt, old_sum)
-        new_map = np.asarray(
-            self._regrid(NSIDE, npix, rdt, ang_base, pix_offsets, orig_dev))
+        # the scatter regrid touches every pixel with bilinear epsilons,
+        # so the sparse diff usually degrades to a dense fetch here — the
+        # fetcher's threshold fallback handles that
+        new_map = self._finish_map(
+            self._regrid(NSIDE, npix, rdt, ang_base, pix_offsets,
+                         orig_dev),
+            t_start, orig_dev, self._host_map(orig_map, rdt, old_sum))
 
-        new_sum = float(np.asarray(new_map, dtype=np.float64).sum())
+        new_sum = float(new_map.sum())
         assert np.isclose(new_sum, old_sum), (
             "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
             "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
-        return np.asarray(new_map, dtype=np.float64)
+        return new_map
 
     def build_step(self):
         """Return (fn, example_args): the full baryonification step as one
@@ -968,6 +1039,7 @@ class PaintProfilesShell(DefaultRunner):
     def process(self):
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
+        t_start = time.time()
 
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
@@ -997,7 +1069,7 @@ class PaintProfilesShell(DefaultRunner):
 
         if self._tiles_available(curve_meta):
             return self._tiled_paint(hd, extras, curve_meta, NSIDE, npix,
-                                     pixarea)
+                                     pixarea, t_start)
 
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
@@ -1041,9 +1113,12 @@ class PaintProfilesShell(DefaultRunner):
                      else jnp.float64)
         acc = self._bucketed_accumulate(make_body, hd, extras, (npix + 1,),
                                         acc_dtype, NSIDE)
-        return np.asarray(acc[:npix], dtype=np.float64)
+        # painted maps are zero outside halo discs: diff-vs-zero sparse
+        # download (base None)
+        return self._finish_map(acc[:npix], t_start)
 
-    def _tiled_paint(self, hd, extras, curve_meta, NSIDE, npix, pixarea):
+    def _tiled_paint(self, hd, extras, curve_meta, NSIDE, npix, pixarea,
+                     t_start=None):
         """Scatter-free painting: dense per-tile pair sums (ops/tiles.py).
 
         Unlike the baryonify phase A there is no small-disc fallback in the
@@ -1084,7 +1159,9 @@ class PaintProfilesShell(DefaultRunner):
             tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
             acc = acc.at[jnp.asarray(tids)].add(out)
         flat = self._tile_flat_gather(tiling, npix, acc)
-        return np.asarray(flat, dtype=np.float64)
+        if t_start is None:
+            t_start = time.time()
+        return self._finish_map(flat, t_start)
 
 
 class PaintProfilesAnisShell(DefaultRunner):

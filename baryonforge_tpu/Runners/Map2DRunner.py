@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cosmo import massdef as _massdef
+from ..ops import compat
 from ..ops.scatter import deposit_2d, deposit_3d
 
 __all__ = ["DefaultRunnerGrid", "BaryonifyGrid", "PaintProfilesGrid",
@@ -141,7 +142,7 @@ class DefaultRunnerGrid:
             def local(batches_local, varying=False):
                 acc = jnp.zeros(acc_shape, dtype=acc_dtype)
                 if varying:  # in shard_map the carry must be axis-varying
-                    acc = jax.lax.pvary(acc, ("halos",))
+                    acc = compat.pvary(acc, ("halos",))
                 acc, _ = jax.lax.scan(scan_fn, acc, batches_local)
                 return acc
 

@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import compat
 from . import healpix as hpx
 
 __all__ = ["SkyTiling", "bin_halos_to_tiles", "bucket_tiles"]
@@ -44,8 +45,10 @@ class SkyTiling:
     ----------
     nside : int
     ring_block : rings per block (RB)
-    seg_slots : slots per ring segment (K); sectors are chosen per block
-        so every segment fits: S_b = ceil(nr_max_b / (K - 2)).
+    seg_slots : slots per ring segment (K); the sector count is sized for
+        the widest (equatorial) rings, S = ceil(4*nside / (K - 2)),
+        uniformly across blocks (see __init__ for why), with belt-interior
+        blocks tightened to S = 4*nside/K when that divides exactly.
     """
 
     def __init__(self, nside, ring_block=16, seg_slots=32):
@@ -58,7 +61,15 @@ class SkyTiling:
 
         i0 = 1 + self.RB * np.arange(self.n_blocks)
         i_hi = np.minimum(i0 + self.RB - 1, n_rings)
-        nr_max = 4 * np.minimum(np.maximum(i_hi, 4 * N - i0), N)
+        # Sector count S is sized for the 4N-pixel equatorial rings in
+        # EVERY block (not per-block nr_max), deliberately: the stencil
+        # regrid's vertical-neighbour gather requires the blocks above and
+        # below a tile to share its S so neighbours are tile±S with
+        # identical phi sectors (blocks where that fails fall back to the
+        # scatter deposit). Polar-cap tiles are sparser than belt tiles as
+        # a result; coverage stays exact. (The belt override below changes
+        # S only on belt-interior blocks, in one contiguous run.)
+        nr_max = np.full(self.n_blocks, 4 * N)
         self.S = np.maximum(1, -(-nr_max // (self.K - 2))).astype(np.int64)
         # belt-pure blocks (all rings in [N, 3N], nr = 4N = const): pick S
         # so segments are EXACTLY K pixels — then the tile-major layout of
@@ -478,7 +489,7 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
 
         z = jnp.zeros(P, dtype=dtype)
         if mesh is not None:     # carry mixes with sharded inputs
-            z = jax.lax.pvary(z, (mesh_axis,))
+            z = compat.pvary(z, (mesh_axis,))
         (s0, sth, sph), _ = jax.lax.scan(h_body, (z, z, z), hidx_c)
         if displace:
             out = jnp.stack([s0 * a_th - sth, s0 * a_ph - sph], axis=-1)
@@ -522,6 +533,8 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
         tids_np, hidx_np = bucket
         key = id(hidx_np)
         if key not in _dev_cache:
+            if len(_dev_cache) >= 64:   # bound device-memory growth
+                _dev_cache.clear()
             # pad/upload ONCE: repeated process() calls (and per-call
             # chunk loops) must not re-ship halo lists over the (slow)
             # host->device link
@@ -534,9 +547,13 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             hid[:T, :H] = hidx_np
             tid = np.zeros(nch * Tp, dtype=np.int32)
             tid[:T] = tids_np
+            # hidx_np is stored to pin the object: the id()-key stays
+            # valid for the cache entry's lifetime (a freed array's
+            # address could otherwise be reused by a different catalog)
             _dev_cache[key] = (jnp.asarray(tid.reshape(nch, Tp)),
-                               jnp.asarray(hid.reshape(nch, Tp, Hp)))
-        tid_d, hid_d = _dev_cache[key]
+                               jnp.asarray(hid.reshape(nch, Tp, Hp)),
+                               hidx_np)
+        tid_d, hid_d, _ = _dev_cache[key]
         out = jitted(tid_d, hid_d, pack, ln_r0, inv_dlnr)
         return tids_np, out[:tids_np.shape[0]]
 

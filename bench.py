@@ -123,18 +123,25 @@ def main():
     t_warm = time.time() - t0
     print(f"# warmup (incl. compile): {t_warm:.1f} s", file=sys.stderr)
 
-    # best of 5: the dev-tunnel download bandwidth for the 50 MB result
-    # map fluctuates 4-25 MB/s between calls and dominates wall time
-    # (device compute is ~1 s; on directly-attached TPU the transfer is
-    # ~1 ms)
-    times = []
+    # best of 5 end-to-end calls. The runner reports a compute/transfer
+    # split per call: transfer is the device->host download of the result
+    # map, which runs over a 4-40 MB/s dev tunnel here (~1 ms on
+    # directly-attached TPU) and is shrunk by the sparse changed-block
+    # download (ops/transfer.py)
+    times, splits = [], []
     for _ in range(5):
         t0 = time.time()
         out = runner.process()
         times.append(time.time() - t0)
-    t_best = min(times)
+        splits.append((runner.timings.get("compute_s", float("nan")),
+                       runner.timings.get("transfer_s", float("nan"))))
+    i_best = int(np.argmin(times))
+    t_best = times[i_best]
+    compute_s, transfer_s = splits[i_best]
     print(f"# steady-state times: {[f'{t:.2f}' for t in times]}",
           file=sys.stderr)
+    print("# compute/transfer splits: "
+          + str([f"{c:.2f}/{t:.2f}" for c, t in splits]), file=sys.stderr)
 
     assert np.isfinite(out).all()
     halos_per_s = n_halos / t_best
@@ -144,6 +151,9 @@ def main():
         "value": round(halos_per_s, 1),
         "unit": "halos/s",
         "vs_baseline": round(halos_per_s / baseline, 2),
+        "compute_s": round(float(compute_s), 3),
+        "transfer_s": round(float(transfer_s), 3),
+        "times_s": [round(t, 2) for t in times],
     }))
 
 

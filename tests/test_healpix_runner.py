@@ -182,3 +182,37 @@ def test_chunked_regrid_matches_unchunked():
                                               ang, po, orig,
                                               chunk_cap=npix // 6))
     np.testing.assert_allclose(many, one, rtol=1e-13, atol=1e-13)
+
+
+def test_transfer_sparse_matches_dense_baryonify():
+    """transfer='sparse' must return bit-for-bit the dense download, and
+    the runner must record the compute/transfer timing split."""
+    raw = RNG.exponential(1.0, NPIX)
+    shell = utils.LightconeShell(map=raw, cosmo=COSMO_DICT)
+    maps = {}
+    for mode in ("dense", "sparse"):
+        runner = Runners.BaryonifyShell(CATALOG, shell, epsilon_max=20,
+                                        model=MODEL, halo_batch=32,
+                                        transfer=mode)
+        maps[mode] = runner.process()
+        assert runner.timings["compute_s"] > 0
+        assert runner.timings["transfer_s"] >= 0
+    np.testing.assert_array_equal(maps["dense"], maps["sparse"])
+
+
+def test_transfer_sparse_matches_dense_paint():
+    tab = utils.TabulatedProfile(
+        Profiles.Thermodynamic.Pressure(**bpar_S19, proj_cutoff=100),
+        COSMO)
+    tab.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                           M_min=1e13, M_max=3e15, N_samples_Mass=6,
+                           R_min=1e-3, R_max=50, N_samples_R=48,
+                           verbose=False)
+    shell = utils.LightconeShell(map=np.zeros(NPIX), cosmo=COSMO_DICT)
+    maps = {}
+    for mode in ("dense", "sparse"):
+        runner = Runners.PaintProfilesShell(CATALOG, shell,
+                                            epsilon_max=5, model=tab,
+                                            halo_batch=32, transfer=mode)
+        maps[mode] = runner.process()
+    np.testing.assert_array_equal(maps["dense"], maps["sparse"])

@@ -1,0 +1,178 @@
+"""North-star measurement: NSIDE=4096 full sky, 1e6 halos,
+baryonify + paint on a single chip (BASELINE.json: <10 s on v5e-8).
+
+Reports per-phase device times (tiled phase A, stencil phase B, paint)
+plus the end-to-end wall and the transfer term, as one JSON line. The
+v5e-8 extrapolation divides the halo-bound terms (phase A, paint) by the
+chip count — both shard over the tile/halo axes with the tested
+``parallel.halo_mesh`` machinery — while phase B is halo-count
+independent and shards its source chunks.
+
+Usage:  python tools/northstar.py  [--nside 4096] [--halos 1000000]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nside", type=int, default=4096)
+    ap.add_argument("--halos", type=int, default=1_000_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import baryonforge_tpu  # noqa: F401
+    from baryonforge_tpu import Profiles, Runners, utils
+    from baryonforge_tpu import cosmo as bcosmo
+    from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification2D
+    from bench import _TABLE_BUILDER
+
+    nside, n_halos = args.nside, args.halos
+    npix = 12 * nside * nside
+
+    h = 0.7
+    cosmo_dict = dict(Omega_m=0.30, Omega_b=0.045, h=h, sigma8=0.8,
+                      n_s=0.96, w0=-1.0)
+    cosmo = bcosmo.cosmology_from_dict(cosmo_dict)
+    bpar = dict(theta_ej=4, theta_co=0.1, M_c=1e14 / h, mu_beta=0.4,
+                eta=0.3, eta_delta=0.3, tau=-1.5, tau_delta=0,
+                A=0.09 / 2, M1=2.5e11 / h, epsilon_h=0.015,
+                a=0.3, n=2, epsilon=4, p=0.3, q=0.707, gamma=2, delta=7)
+
+    rng = np.random.default_rng(7)
+    ra = rng.uniform(0, 360, n_halos)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n_halos)))
+    M = 10 ** rng.uniform(13.0, 14.8, n_halos)
+    z = rng.uniform(0.8, 1.0, n_halos)
+    cat = utils.HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z,
+                                     cosmo=cosmo_dict)
+    shell = utils.LightconeShell(
+        map=rng.exponential(1.0, npix).astype(np.float32),
+        cosmo=cosmo_dict)
+
+    # displacement table (clean-CPU subprocess, see bench.py)
+    t0 = time.time()
+    table_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "_northstar_table.npz")
+    if not os.path.exists(table_path):
+        env = dict(os.environ, BFG_TABLE_PATH=table_path)
+        subprocess.run([sys.executable, "-c", _TABLE_BUILDER], env=env,
+                       check=True, cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    DMO = Profiles.DarkMatterOnly(**bpar, proj_cutoff=100)
+    DMB = Profiles.DarkMatterBaryon(**bpar, proj_cutoff=100)
+    model = Baryonification2D(DMO, DMB, cosmo, epsilon_max=20)
+    model.load_table(table_path)
+    print(f"# table: {time.time()-t0:.1f} s", file=sys.stderr)
+
+    # paint model: tSZ pressure (BASELINE config #2 analog)
+    t0 = time.time()
+    tab = utils.TabulatedProfile(
+        Profiles.Thermodynamic.ThermalSZ(
+            Profiles.Thermodynamic.Pressure(**bpar, proj_cutoff=100),
+            proj_cutoff=100),
+        cosmo)
+    tab.setup_interpolator(z_min=0.7, z_max=1.1, N_samples_z=8,
+                           M_min=5e12, M_max=2e15, N_samples_Mass=20,
+                           R_min=1e-3, R_max=60, N_samples_R=64,
+                           verbose=False)
+    print(f"# paint table: {time.time()-t0:.1f} s", file=sys.stderr)
+
+    results = {"nside": nside, "n_halos": n_halos}
+
+    # ---------------- baryonify ----------------
+    runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                    model=model, halo_batch=8192,
+                                    verbose=False, n_size_buckets=8,
+                                    regrid_dtype=jnp.float32)
+    t0 = time.time()
+    out = runner.process()
+    print(f"# baryonify warmup (incl. compile + host prep): "
+          f"{time.time()-t0:.1f} s", file=sys.stderr)
+    bary = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = runner.process()
+        bary.append((time.time() - t0, runner.timings["compute_s"],
+                     runner.timings["transfer_s"]))
+    assert np.isfinite(out).all()
+    i = int(np.argmin([b[0] for b in bary]))
+    results["baryonify_e2e_s"] = round(bary[i][0], 2)
+    results["baryonify_compute_s"] = round(bary[i][1], 2)
+    results["baryonify_transfer_s"] = round(bary[i][2], 2)
+    print(f"# baryonify: {bary}", file=sys.stderr)
+
+    # per-phase split (device-only, via runner internals)
+    hkey = next(k for k in runner._compiled if k[0] == "hostprep")
+    hd, extras, curve_meta = runner._compiled[hkey]
+    t0 = time.time()
+    acc = runner._tiled_phase_a(hd, extras, curve_meta, nside, npix,
+                                return_acc=True)
+    acc.block_until_ready()
+    results["phase_a_s"] = round(time.time() - t0, 2)
+    old_sum = np.asarray(shell.map, dtype=np.float64).sum()
+    orig_dev = runner._device_map(np.asarray(shell.map, np.float64),
+                                  jnp.float32, old_sum)
+    t0 = time.time()
+    nd = runner._regrid_stencil(nside, npix, jnp.float32, acc, orig_dev,
+                                host_sum=old_sum)
+    nd.block_until_ready()
+    results["phase_b_stencil_s"] = round(time.time() - t0, 2)
+    del nd, acc
+
+    # ---------------- paint ----------------
+    paint_runner = Runners.PaintProfilesShell(
+        cat, shell, epsilon_max=5, model=tab, halo_batch=8192,
+        verbose=False, n_size_buckets=8, regrid_dtype=jnp.float32)
+    t0 = time.time()
+    pout = paint_runner.process()
+    print(f"# paint warmup: {time.time()-t0:.1f} s", file=sys.stderr)
+    paint = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        pout = paint_runner.process()
+        paint.append((time.time() - t0,
+                      paint_runner.timings["compute_s"],
+                      paint_runner.timings["transfer_s"]))
+    assert np.isfinite(pout).all()
+    i = int(np.argmin([p[0] for p in paint]))
+    results["paint_e2e_s"] = round(paint[i][0], 2)
+    results["paint_compute_s"] = round(paint[i][1], 2)
+    results["paint_transfer_s"] = round(paint[i][2], 2)
+    print(f"# paint: {paint}", file=sys.stderr)
+
+    total_compute = (results["baryonify_compute_s"]
+                     + results["paint_compute_s"])
+    results["total_compute_s_1chip"] = round(total_compute, 2)
+    # v5e-8 extrapolation: phase A and paint shard over tiles/halos
+    # (tested tile-axis shard_map + psum paths); phase B stencil is
+    # halo-independent and its source chunks shard. ICI psum of the f32
+    # map (~0.8 GB) adds ~0.1 s/pass.
+    halo_bound = (results["phase_a_s"] + results["paint_compute_s"])
+    fixed = results["phase_b_stencil_s"]
+    results["projected_v5e8_s"] = round(halo_bound / 8 + fixed + 0.2, 2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
