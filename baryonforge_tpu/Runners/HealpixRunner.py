@@ -1200,14 +1200,20 @@ class PaintProfilesAnisShell(DefaultRunner):
         npix = orig_map.size
         pixarea = hpx.nside2pixarea(NSIDE)
 
-        # total-mass canvas painted with pixel sizes included
+        # total-mass canvas painted with pixel sizes included; forwards
+        # the full runner config (incl. mesh) so the canvas paint is
+        # sharded/tiled exactly like a standalone paint
         Mtot_map = PaintProfilesShell(
             HaloLightConeCatalog=self.HaloLightConeCatalog,
             LightconeShell=self.LightconeShell,
             epsilon_max=self.epsilon_max, model=self.Mtot_model,
             include_pixel_size=True, mass_def=self.mass_def,
             verbose=self.verbose, halo_batch=self.halo_batch,
-            dtype=self.dtype).process()
+            dtype=self.dtype, mesh=self.mesh,
+            n_size_buckets=self.n_size_buckets,
+            pixel_budget=self.pixel_budget,
+            regrid_dtype=self.regrid_dtype, deposit=self.deposit,
+            transfer=self.transfer).process()
 
         dL = 2 * _get_parameter(self.Mtot_model, "proj_cutoff")
         dD = float(_core.angular_diameter_distance(
@@ -1236,6 +1242,23 @@ class PaintProfilesAnisShell(DefaultRunner):
         Mtot_dev = jnp.asarray(Mtot_map)
         orig_dev = jnp.asarray(orig_map)
 
+        # fast path: per-halo log-profile curves for BOTH model and
+        # tracer (TabulatedProfile-compatible) — per-pixel work becomes
+        # two 1D lerps instead of two (z, M, r) table interpolations
+        curve_meta = None
+        if (hasattr(model, "halo_curves") and hasattr(tracer,
+                                                      "halo_curves")
+                and not keys):
+            pc, ln_r0_p, dlnr_p = jax.jit(
+                lambda M, a: model.halo_curves(M, a, kind="projected"))(
+                hd["M"], hd["a"])
+            tc, ln_r0_t, dlnr_t = jax.jit(
+                lambda M, a: tracer.halo_curves(M, a, kind="projected"))(
+                hd["M"], hd["a"])
+            extras = extras + [np.asarray(pc), np.asarray(tc)]
+            curve_meta = (float(ln_r0_p), float(dlnr_p),
+                          float(ln_r0_t), float(dlnr_t))
+
         def make_body(K_ring, K_phi):
           def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
             pix, mask = hpx.disc_pixels(NSIDE, theta_h, phi_h, rad_h,
@@ -1247,10 +1270,23 @@ class PaintProfilesAnisShell(DefaultRunner):
             diff = (vec - vec_h[None, :]) * D_h
             r_sep = jnp.sqrt(jnp.sum(diff ** 2, axis=-1))
 
-            kw = {k: o for k, o in zip(keys, o_h)}
-            painting = model.projected(cosmo, r_sep / a_h, M_h, a_h, **kw)
+            if curve_meta is not None:
+                from ..utils.Tabulate import TabulatedProfile as _TP
+                ln_r0_p, dlnr_p, ln_r0_t, dlnr_t = curve_meta
+                r_com = r_sep / a_h.astype(dt)
+                # curves store log(Sigma * a): divide the a factor out
+                painting = _TP.curve_lookup(o_h[-2].astype(dt), ln_r0_p,
+                                            dlnr_p, r_com) \
+                    / a_h.astype(dt)
+                canvas = _TP.curve_lookup(o_h[-1].astype(dt), ln_r0_t,
+                                          dlnr_t, r_com) / a_h.astype(dt)
+            else:
+                kw = {k: o for k, o in zip(keys, o_h)}
+                painting = model.projected(cosmo, r_sep / a_h, M_h, a_h,
+                                           **kw)
+                canvas = tracer.projected(cosmo, r_sep / a_h, M_h, a_h,
+                                          **kw)
             painting = jnp.where(jnp.isfinite(painting), painting, 0.0)
-            canvas = tracer.projected(cosmo, r_sep / a_h, M_h, a_h, **kw)
             canvas = jnp.where(jnp.isfinite(canvas), canvas, 0.0)
             mtot_px = Mtot_dev[jnp.clip(pix, 0, npix - 1)]
             mfrac = jnp.where(mtot_px > 0, canvas / mtot_px, 0.0)

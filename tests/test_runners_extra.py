@@ -190,3 +190,33 @@ def test_fits_roundtrip(tmp_path):
     shell = utils.LightconeShell(path=p, cosmo=COSMO_DICT)
     assert shell.NSIDE == 16
     np.testing.assert_array_equal(shell.map, m)
+
+
+class _HideCurves:
+    """Expose only the projected()/p_keys surface of a profile: forces
+    the runner's direct-evaluation path (no halo_curves fast path)."""
+
+    def __init__(self, prof):
+        self._prof = prof
+
+    def projected(self, *args, **kwargs):
+        return self._prof.projected(*args, **kwargs)
+
+
+def test_paint_anis_curve_fast_path_matches_direct():
+    """The Anis curve fast path (two 1D lerps per pixel) must agree with
+    the direct TabulatedProfile.projected evaluation."""
+    cat = _cat()
+    tab = _tab()
+    shell = utils.LightconeShell(map=RNG.exponential(1.0, NPIX),
+                                 cosmo=COSMO_DICT, redshift=0.25)
+    kw = dict(epsilon_max=5, background_val=1.0,
+              global_tracer_fraction=0.1, halo_batch=8, verbose=False)
+    fast = Runners.PaintProfilesAnisShell(
+        cat, shell, model=tab, Tracer_model=tab, Mtot_model=tab,
+        **kw).process()
+    direct = Runners.PaintProfilesAnisShell(
+        cat, shell, model=_HideCurves(tab), Tracer_model=_HideCurves(tab),
+        Mtot_model=tab, **kw).process()
+    scale = np.abs(direct).max()
+    np.testing.assert_allclose(fast, direct, atol=2e-4 * scale)
