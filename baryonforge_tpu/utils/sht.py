@@ -11,16 +11,17 @@ associated-Legendre recurrence over l at fixed m.
 
 a_lm = sum_rings  P_lm(z_r) * [Omega_p * sum_{j in ring} map_j e^{-i m phi_j}]
 
-Intended for validation and post-processing at moderate lmax (the
-recurrence is materialized per (ring, l, m); lmax <= ~3 nside and a few
-hundred works comfortably).
+Memory is bounded at every lmax: the m-transform streams rings in fixed
+chunks (``ring_batch``), and the Legendre transform scans upward in l
+carrying only the last two (n_ring, L) recurrence rows and contracting
+each row against the ring modes immediately — the (n_ring, L, L) tensor
+of the naive formulation is never materialized. lmax = 3*nside at
+NSIDE=1024 runs in < 1 GB of buffers.
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-from ..ops import healpix as hpx
 
 __all__ = ["ring_alm_real", "anafast"]
 
@@ -45,97 +46,123 @@ def _ring_geometry(nside):
     return sp, nr, z, phi0
 
 
-def _legendre_lambda(z, lmax):
-    """Normalized associated Legendre lambda_lm(z) for all 0<=m<=l<=lmax.
+def _ring_modes(nside, hmap, lmax, ring_batch=8):
+    """Per-ring m-modes F_m = sum_j map_j e^{-i m phi_j}.
 
-    lambda_lm = sqrt((2l+1)/(4pi) (l-m)!/(l+m)!) P_lm(z): the spherical
-    harmonic is Y_lm = lambda_lm e^{i m phi}. Standard stable recurrence:
-    diagonal lambda_mm, then upward in l. Returns (n_ring, L, L) with
-    zeros for m > l (L = lmax + 1).
+    Returns (Fr, Fi), each (n_ring, L). Rings are processed in chunks of
+    ``ring_batch`` so the (batch, L, nmax) phase tensor stays bounded.
     """
-    z = jnp.asarray(z)
-    L = lmax + 1
-    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))        # sin(theta)
-
-    # diagonal: lambda_mm = sqrt((2m+1)/(4pi)) * prod_{k<=m} sqrt((2k-1)/(2k)) * (-s)^m ...
-    # using the healpix convention WITHOUT Condon-Shortley sign on output
-    # Cl (signs cancel in |alm|^2 anyway).
-    def diag(m):
-        # lambda_mm(z) = sqrt(1/(4pi)) * sqrt(prod_{k=1..m} (2k+1)/(2k)) * s^m
-        k = jnp.arange(1, lmax + 1)
-        fac = jnp.where(k <= m, (2.0 * k + 1.0) / (2.0 * k), 1.0)
-        amp = jnp.sqrt(jnp.prod(fac) / (4.0 * jnp.pi))
-        return amp * s ** m                             # (n_ring,)
-
-    lam_mm = jax.vmap(diag)(jnp.arange(L))              # (L, n_ring)
-
-    def per_m(m, lmm):
-        # upward recurrence in l at fixed m:
-        # a_l lambda_{l,m} = z lambda_{l-1,m} - b_l lambda_{l-2,m}
-        l = jnp.arange(L).astype(z.dtype)
-        mf = m.astype(z.dtype)
-        a = jnp.sqrt(((2 * l + 1) * (2 * l - 1))
-                     / jnp.maximum((l - mf) * (l + mf), 1.0))
-        b = jnp.sqrt(jnp.maximum(
-            (2 * l + 1) * (l - 1 - mf) * (l - 1 + mf), 0.0)
-            / jnp.maximum((2 * l - 3) * (l - mf) * (l + mf), 1.0))
-
-        def step(carry, li):
-            prev, prev2 = carry
-            cur = a[li] * (z * prev - b[li] / a[li] * prev2)
-            # only valid for li > m; keep lmm at li == m, zero below
-            cur = jnp.where(li == m, lmm,
-                            jnp.where(li < m, 0.0, cur))
-            return (cur, prev), cur
-
-        _, lam = jax.lax.scan(step, (jnp.zeros_like(lmm),
-                                     jnp.zeros_like(lmm)),
-                              jnp.arange(L))
-        return lam                                      # (L, n_ring)
-
-    lam = jax.vmap(per_m)(jnp.arange(L), lam_mm)        # (m, l, n_ring)
-    return jnp.moveaxis(lam, -1, 0)                     # (n_ring, m, l)
-
-
-def ring_alm_real(nside, hmap, lmax):
-    """(Re, Im) of a_lm for m >= 0, shapes (L, L) indexed [m, l]."""
     sp, nr, z, phi0 = _ring_geometry(nside)
     L = lmax + 1
-    npix = 12 * nside * nside
-    omega = 4.0 * jnp.pi / npix
-    hmap = jnp.asarray(hmap, dtype=jnp.float64)
-
-    # per-ring m-modes F_m = sum_j map_j e^{-i m phi_j}; phi_j = phi0 + j dphi
-    # => F_m = e^{-i m phi0} sum_j map_j e^{-i m j dphi}. Rings have
-    # different lengths: pad to the longest and mask.
+    n_ring = nr.size
     nmax = int(nr.max())
+
     idx = sp[:, None] + np.minimum(np.arange(nmax)[None, :],
                                    (nr - 1)[:, None])
     mask = np.arange(nmax)[None, :] < nr[:, None]
     ring_vals = jnp.where(jnp.asarray(mask), hmap[jnp.asarray(idx)], 0.0)
 
-    m = jnp.arange(L)
-    # phase matrices per ring: (n_ring, L, nmax) is large; contract per m
-    # via matmul over j with ring-specific dphi: cos/sin(m j dphi).
-    j = jnp.arange(nmax)
-    dphi = jnp.asarray(2.0 * np.pi / nr)
+    m = jnp.arange(L, dtype=hmap.dtype)
+    j = jnp.arange(nmax, dtype=hmap.dtype)
+    dphi = jnp.asarray(2.0 * np.pi / nr, dtype=hmap.dtype)
+    phi0_d = jnp.asarray(phi0, dtype=hmap.dtype)
 
-    def per_ring(vals, dp, p0):
-        ang = m[:, None] * j[None, :] * dp              # (L, nmax)
+    def per_ring(args):
+        vals, dp, p0 = args
+        ang = m[:, None] * (j[None, :] * dp)            # (L, nmax)
         cr = jnp.cos(ang) @ vals
-        ci = -jnp.sin(ang) @ vals
-        # shift by phi0
-        c0, s0 = jnp.cos(m * p0), jnp.sin(m * p0)
+        ci = -(jnp.sin(ang) @ vals)
+        c0, s0 = jnp.cos(m * p0), jnp.sin(m * p0)       # shift by phi0
         return cr * c0 + ci * s0, ci * c0 - cr * s0
 
-    Fr, Fi = jax.vmap(per_ring)(ring_vals, dphi, jnp.asarray(phi0))
-    lam = _legendre_lambda(jnp.asarray(z), lmax)        # (n_ring, m, l)
-    alm_r = jnp.einsum("rm,rml->ml", Fr, lam) * omega
-    alm_i = jnp.einsum("rm,rml->ml", Fi, lam) * omega
-    return alm_r, alm_i
+    # pad the ring axis to a multiple of ring_batch, then stream
+    pad = (-n_ring) % ring_batch
+    if pad:
+        ring_vals = jnp.concatenate(
+            [ring_vals, jnp.zeros((pad, nmax), ring_vals.dtype)])
+        dphi = jnp.concatenate([dphi, jnp.ones(pad, dphi.dtype)])
+        phi0_d = jnp.concatenate([phi0_d, jnp.zeros(pad, phi0_d.dtype)])
+    Fr, Fi = jax.lax.map(jax.vmap(per_ring),
+                         (ring_vals.reshape(-1, ring_batch, nmax),
+                          dphi.reshape(-1, ring_batch),
+                          phi0_d.reshape(-1, ring_batch)))
+    return (Fr.reshape(-1, L)[:n_ring], Fi.reshape(-1, L)[:n_ring])
 
 
-def anafast(hmap, lmax=None, nside=None):
+def _alm_from_modes(z, Fr, Fi, lmax):
+    """Contract ring modes with normalized associated Legendre functions.
+
+    Scans upward in l carrying (lambda_{l-1,m}, lambda_{l-2,m}) as
+    (n_ring, L) rows; each step emits one l-row of (Re a_lm, Im a_lm).
+    lambda_lm = sqrt((2l+1)/(4pi) (l-m)!/(l+m)!) P_lm(z) via the standard
+    stable three-term recurrence, seeded on the diagonal
+    lambda_mm = sqrt(prod_{k<=m}(2k+1)/(2k) / (4pi)) * sin(theta)^m
+    (healpix convention; Condon-Shortley signs cancel in |a_lm|^2).
+    """
+    z = jnp.asarray(z)
+    L = lmax + 1
+    dt = z.dtype
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))          # (n_ring,)
+
+    k = jnp.arange(1, L, dtype=dt)
+    # amp_m = sqrt(prod_{k<=m}(2k+1)/(2k)/(4pi)), m = 0..lmax
+    logfac = jnp.concatenate([jnp.zeros(1, dt),
+                              jnp.cumsum(jnp.log((2 * k + 1) / (2 * k)))])
+    # lam_mm (n_ring, m): exp(0.5 logfac_m + m log s) / sqrt(4pi);
+    # log(0) -> -inf gives exact 0 at s=0 (no healpix ring reaches a pole
+    # but padded rows might)
+    mf = jnp.arange(L, dtype=dt)
+    with np.errstate(divide="ignore"):
+        log_s = jnp.log(jnp.maximum(s, jnp.finfo(dt).tiny))
+    lam_mm = jnp.exp(0.5 * logfac[None, :] + mf[None, :] * log_s[:, None]
+                     - 0.5 * jnp.log(4 * jnp.pi))
+    lam_mm = jnp.where(s[:, None] > 0, lam_mm,
+                       jnp.where(mf[None, :] == 0,
+                                 1.0 / jnp.sqrt(4 * jnp.pi), 0.0))
+
+    # recurrence coefficients per (l, m):
+    #   lambda_{l,m} = a_{l,m} z lambda_{l-1,m} - b_{l,m} lambda_{l-2,m}
+    l = jnp.arange(L, dtype=dt)[:, None]
+    mm = mf[None, :]
+    a = jnp.sqrt(((2 * l + 1) * (2 * l - 1))
+                 / jnp.maximum((l - mm) * (l + mm), 1.0))
+    b = jnp.sqrt(jnp.maximum(
+        (2 * l + 1) * (l - 1 - mm) * (l - 1 + mm), 0.0)
+        / jnp.maximum((2 * l - 3) * (l - mm) * (l + mm), 1.0))
+
+    li_all = jnp.arange(L)
+
+    def step(carry, li):
+        prev, prev2 = carry                              # (n_ring, L)
+        cur = a[li] * (z[:, None] * prev) - b[li] * prev2
+        cur = jnp.where(li == li_all[None, :], lam_mm,
+                        jnp.where(li < li_all[None, :], 0.0, cur))
+        row_r = jnp.sum(Fr * cur, axis=0)                # (L,) over rings
+        row_i = jnp.sum(Fi * cur, axis=0)
+        return (cur, prev), (row_r, row_i)
+
+    zeros = jnp.zeros_like(lam_mm)
+    # unroll: each step is only ~n_ring*L fma, so per-step dispatch
+    # overhead dominates an un-unrolled scan on CPU
+    _, (alm_r, alm_i) = jax.lax.scan(step, (zeros, zeros), li_all,
+                                     unroll=8)
+    # rows are indexed by l; transpose to the (m, l) layout
+    return alm_r.T, alm_i.T
+
+
+def ring_alm_real(nside, hmap, lmax, ring_batch=8):
+    """(Re, Im) of a_lm for m >= 0, shapes (L, L) indexed [m, l]."""
+    sp, nr, z, phi0 = _ring_geometry(nside)
+    npix = 12 * nside * nside
+    omega = 4.0 * jnp.pi / npix
+    hmap = jnp.asarray(hmap, dtype=jnp.float64)
+    Fr, Fi = _ring_modes(nside, hmap, lmax, ring_batch=ring_batch)
+    alm_r, alm_i = _alm_from_modes(jnp.asarray(z, hmap.dtype), Fr, Fi,
+                                   lmax)
+    return alm_r * omega, alm_i * omega
+
+
+def anafast(hmap, lmax=None, nside=None, ring_batch=8):
     """Angular power spectrum C_l of a RING map (healpy.anafast analog).
 
     C_l = 1/(2l+1) [ |a_l0|^2 + 2 sum_{m>0} |a_lm|^2 ].
@@ -146,7 +173,7 @@ def anafast(hmap, lmax=None, nside=None):
     assert 12 * nside * nside == hmap.size, "not a healpix map"
     if lmax is None:
         lmax = 3 * nside - 1
-    alm_r, alm_i = ring_alm_real(nside, hmap, lmax)
+    alm_r, alm_i = ring_alm_real(nside, hmap, lmax, ring_batch=ring_batch)
     p = alm_r ** 2 + alm_i ** 2                         # (m, l)
     m = jnp.arange(lmax + 1)[:, None]
     l = jnp.arange(lmax + 1)[None, :]

@@ -39,3 +39,19 @@ bpar_A20 = dict(alpha_g=2, epsilon_h=0.015, M1_0=2.2e11 / h,
                 theta_rg=0.3, sigma_rg=0.1, a=0.3, n=2, p=0.3, q=0.707,
                 A_nt=0.495, alpha_nt=0.1,
                 mean_molecular_weight=0.59)
+
+
+# ---------------------------------------------------------------------
+# Session-scoped memo for expensive displacement/profile table builds.
+# The dominant test-suite cost is repeated setup_interpolator runs with
+# identical parameters across modules; identical builds dedup within one
+# pytest process. Key must uniquely identify the build (family, params,
+# grids) — when in doubt, don't share.
+# ---------------------------------------------------------------------
+_TABLE_MEMO = {}
+
+
+def memo_table(key, builder):
+    if key not in _TABLE_MEMO:
+        _TABLE_MEMO[key] = builder()
+    return _TABLE_MEMO[key]

@@ -75,3 +75,62 @@ def test_baryonification_suppresses_cl():
     assert hi_mean < 0.99, f"no high-ell suppression: {hi_mean}"
     assert hi_mean > 0.85, f"suppression implausibly strong: {hi_mean}"
     # mass conservation already asserted inside process()
+
+
+@pytest.mark.slow
+def test_deltacl_nside512():
+    """Metric-scale Delta-Cl: NSIDE=512, lmax=768 via the bounded-memory
+    blocked SHT (utils/sht.py). Calibration run (2026-08, lmax=1280):
+    ratio 1.0000 at ell 2-10, 0.9966 at 20-100, 0.937 at 100-300,
+    0.855 at 300-600, upturn beyond — the classic S19 Delta-Cl shape
+    (reference examples/09)."""
+    nside = 512
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(13)
+    n = 400
+    cat = utils.HaloLightConeCatalog(
+        ra=rng.uniform(0, 360, n),
+        dec=np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+        M=10 ** rng.uniform(14.0, 15.0, n),
+        z=rng.uniform(0.08, 0.15, n), cosmo=COSMO_DICT)
+
+    tab = utils.TabulatedProfile(
+        Profiles.DarkMatterOnly(**bpar_S19, proj_cutoff=100), COSMO)
+    tab.setup_interpolator(z_min=0.05, z_max=0.3, N_samples_z=3,
+                           M_min=5e13, M_max=3e15, N_samples_Mass=8,
+                           R_min=1e-3, R_max=60, N_samples_R=64,
+                           verbose=False)
+    zero_shell = utils.LightconeShell(map=np.zeros(npix),
+                                      cosmo=COSMO_DICT)
+    mass_map = Runners.PaintProfilesShell(
+        cat, zero_shell, epsilon_max=10, model=tab,
+        include_pixel_size=True, halo_batch=64, verbose=False).process()
+    mass_map = mass_map + mass_map.mean()
+
+    DMO = Profiles.DarkMatterOnly(**bpar_S19, proj_cutoff=100)
+    DMB = Profiles.DarkMatterBaryon(**bpar_S19, proj_cutoff=100)
+    model = Baryonification2D(DMO, DMB, COSMO, epsilon_max=20)
+    model.setup_interpolator(z_min=0.05, z_max=0.3, N_samples_z=3,
+                             M_min=5e13, M_max=3e15, N_samples_Mass=8,
+                             R_min=1e-3, R_max=60, N_samples_R=64,
+                             verbose=False)
+    shell = utils.LightconeShell(map=mass_map, cosmo=COSMO_DICT)
+    new_map = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                     model=model, halo_batch=64,
+                                     verbose=False).process()
+
+    lmax = 768
+    d0 = mass_map / mass_map.mean() - 1.0
+    d1 = new_map / new_map.mean() - 1.0
+    cl0 = sht.anafast(d0, lmax=lmax)
+    cl1 = sht.anafast(d1, lmax=lmax)
+    ratio = cl1 / cl0
+    ell = np.arange(lmax + 1)
+
+    def band(lo, hi):
+        return float(np.mean(ratio[(ell >= lo) & (ell <= hi)]))
+
+    assert abs(band(2, 10) - 1) < 0.02
+    assert 0.90 < band(100, 300) < 0.96
+    assert 0.80 < band(300, 600) < 0.90
+    assert band(100, 300) > band(300, 600)   # deepening toward the dip

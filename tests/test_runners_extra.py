@@ -17,13 +17,19 @@ NPIX = 12 * NSIDE * NSIDE
 
 
 def _tab(proj_cutoff=100, r_steps=500):
-    t = utils.TabulatedProfile(Profiles.DarkMatter(
-        **bpar_S19, proj_cutoff=proj_cutoff), COSMO)
-    t.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=3,
-                         M_min=1e13, M_max=3e15, N_samples_Mass=6,
-                         R_min=1e-3, R_max=60, N_samples_R=48,
-                         verbose=False)
-    return t
+    from defaults import memo_table
+
+    def build():
+        t = utils.TabulatedProfile(Profiles.DarkMatter(
+            **bpar_S19, proj_cutoff=proj_cutoff), COSMO)
+        t.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=3,
+                             M_min=1e13, M_max=3e15, N_samples_Mass=6,
+                             R_min=1e-3, R_max=60, N_samples_R=48,
+                             verbose=False)
+        return t
+
+    return memo_table(("runners_extra_dm_tab", proj_cutoff, r_steps),
+                      build)
 
 
 def _cat(n=24):
