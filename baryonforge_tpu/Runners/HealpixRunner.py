@@ -602,9 +602,12 @@ class BaryonifyShell(DefaultRunner):
 
         tiling = self._get_tiling(NSIDE)
         P = tiling.RB * tiling.K
-        skey = ("stencilrun", NSIDE, str(rdt))
+        skey = ("stencilrun", NSIDE, str(rdt), self.mesh is None)
         if skey not in self._compiled:
-            run, info = _tiles.make_stencil_regrid(tiling, rdt=rdt)
+            # mesh mode: the stencil's output tile axis shards across
+            # devices (tiles are disjoint); po/orig inputs replicate
+            run, info = _tiles.make_stencil_regrid(tiling, rdt=rdt,
+                                                   mesh=self.mesh)
             tb = tiling.tile_block
             thth = jnp.asarray(info["th_theta"][tb])
             thph = jnp.asarray(info["th_phi"][tb])
@@ -939,7 +942,7 @@ class BaryonifyShell(DefaultRunner):
             self._compiled[hkey] = (hd, extras, curve_meta)
 
         use_tiles = self._tiles_available(curve_meta)
-        use_stencil = (use_tiles and self.mesh is None
+        use_stencil = (use_tiles
                        and self.regrid in ("auto", "stencil"))
         rdt = self.regrid_dtype
         if use_stencil:

@@ -126,3 +126,22 @@ def test_splitjoin_paint():
     split = parallel.SplitJoinParallel(runner, mesh=parallel.halo_mesh(8))
     out = split.process()
     np.testing.assert_allclose(out, single, rtol=1e-12, atol=1e-15)
+
+
+def test_stencil_phase_b_mesh_matches_single():
+    """The stencil phase B now runs in mesh mode too (output tile axis
+    sharded, inputs replicated): forced-stencil sharded output must match
+    the forced-stencil single-device output."""
+    cat, model = _setup()
+    raw = RNG.exponential(1.0, NPIX)
+    shell = utils.LightconeShell(map=raw, cosmo=COSMO_DICT)
+    single = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                    model=model, halo_batch=8,
+                                    regrid="stencil").process()
+    sharded = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
+                                     model=model, halo_batch=8,
+                                     regrid="stencil",
+                                     mesh=parallel.halo_mesh(8)).process()
+    scale = np.abs(single - raw).max()
+    np.testing.assert_allclose(sharded, single, atol=1e-4 * scale)
+    np.testing.assert_allclose(sharded.sum(), raw.sum(), rtol=1e-8)
