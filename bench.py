@@ -123,13 +123,16 @@ def main():
     t_warm = time.time() - t0
     print(f"# warmup (incl. compile): {t_warm:.1f} s", file=sys.stderr)
 
-    # best of 5 end-to-end calls. The runner reports a compute/transfer
+    # best of n end-to-end calls (tunnel congestion decays over ~1 min;
+    # more repeats make the best-call estimate robust to a bad window).
+    # The runner reports a compute/transfer
     # split per call: transfer is the device->host download of the result
     # map, which runs over a 4-40 MB/s dev tunnel here (~1 ms on
     # directly-attached TPU) and is shrunk by the sparse changed-block
     # download (ops/transfer.py)
+    n_rep = int(os.environ.get("BFG_BENCH_REPEATS", 8))
     times, splits = [], []
-    for _ in range(5):
+    for _ in range(n_rep):
         t0 = time.time()
         out = runner.process()
         times.append(time.time() - t0)

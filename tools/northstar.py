@@ -24,6 +24,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+
+_TSZ_TABLE_BUILDER = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.getcwd(), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
+import baryonforge_tpu
+from baryonforge_tpu import Profiles, utils
+from baryonforge_tpu import cosmo as bcosmo
+
+h = 0.7
+cosmo = bcosmo.Cosmology(Omega_m=0.30, Omega_b=0.045, h=h, sigma8=0.8,
+                         n_s=0.96, w0=-1.0)
+bpar = dict(theta_ej=4, theta_co=0.1, M_c=1e14 / h, mu_beta=0.4,
+            eta=0.3, eta_delta=0.3, tau=-1.5, tau_delta=0,
+            A=0.09 / 2, M1=2.5e11 / h, epsilon_h=0.015,
+            a=0.3, n=2, epsilon=4, p=0.3, q=0.707, gamma=2, delta=7)
+tab = utils.TabulatedProfile(
+    Profiles.Thermodynamic.ThermalSZ(
+        Profiles.Thermodynamic.Pressure(**bpar, proj_cutoff=100),
+        proj_cutoff=100),
+    cosmo)
+tab.setup_interpolator(z_min=0.7, z_max=1.1, N_samples_z=8,
+                       M_min=5e12, M_max=2e15, N_samples_Mass=20,
+                       R_min=1e-3, R_max=60, N_samples_R=64,
+                       verbose=False)
+tab.save_table(os.environ["BFG_TABLE_PATH"])
+"""
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nside", type=int, default=4096)
@@ -85,17 +120,25 @@ def main():
     model.load_table(table_path)
     print(f"# table: {time.time()-t0:.1f} s", file=sys.stderr)
 
-    # paint model: tSZ pressure (BASELINE config #2 analog)
+    # paint model: tSZ pressure (BASELINE config #2 analog). Built in a
+    # clean CPU subprocess like the displacement table: the in-process
+    # axon backend routes the small-shape f64 table kernels through the
+    # slow remote compiler (PERFORMANCE.md "table builds stay on CPU").
     t0 = time.time()
     tab = utils.TabulatedProfile(
         Profiles.Thermodynamic.ThermalSZ(
             Profiles.Thermodynamic.Pressure(**bpar, proj_cutoff=100),
             proj_cutoff=100),
         cosmo)
-    tab.setup_interpolator(z_min=0.7, z_max=1.1, N_samples_z=8,
-                           M_min=5e12, M_max=2e15, N_samples_Mass=20,
-                           R_min=1e-3, R_max=60, N_samples_R=64,
-                           verbose=False)
+    ptable_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "_northstar_tsz_table.npz")
+    if not os.path.exists(ptable_path):
+        env = dict(os.environ, BFG_TABLE_PATH=ptable_path)
+        subprocess.run([sys.executable, "-c", _TSZ_TABLE_BUILDER],
+                       env=env, check=True,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    tab.load_table(ptable_path)
     print(f"# paint table: {time.time()-t0:.1f} s", file=sys.stderr)
 
     results = {"nside": nside, "n_halos": n_halos}
