@@ -564,7 +564,15 @@ class BaryonifyShell(DefaultRunner):
         acc = jnp.zeros((tiling.n_tiles, P, 2), dtype=self.dtype)
         for bucket in buckets:
             tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
-            acc = acc.at[jnp.asarray(tids)].add(out)
+            # donate acc: at NSIDE=4096 it is a 2.2 GB buffer and an
+            # undonated .at[].add doubles it per bucket
+            akey = ("tileacc_add", acc.shape, tids.shape, out.shape,
+                    str(self.dtype))
+            if akey not in self._compiled:
+                self._compiled[akey] = jax.jit(
+                    lambda a, t, o: a.at[t].add(o.astype(a.dtype)),
+                    donate_argnums=0)
+            acc = self._compiled[akey](acc, jnp.asarray(tids), out)
 
         # small halos: old scatter path on just those (if any)
         po_small = None
@@ -580,10 +588,12 @@ class BaryonifyShell(DefaultRunner):
 
         if return_acc:
             if po_small is not None:
-                vkey = ("tileview_po", NSIDE)
+                vkey = ("tileview_po", NSIDE, acc.shape, str(acc.dtype))
                 if vkey not in self._compiled:
-                    self._compiled[vkey] = jax.jit(tiling.tile_view)
-                acc = acc + self._compiled[vkey](po_small)
+                    self._compiled[vkey] = jax.jit(
+                        lambda a, p: a + tiling.tile_view(p),
+                        donate_argnums=0)
+                acc = self._compiled[vkey](acc, po_small)
             return acc
         po = self._tile_flat_gather(tiling, npix, acc)
         if po_small is not None:
