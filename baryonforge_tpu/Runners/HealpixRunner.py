@@ -562,7 +562,14 @@ class BaryonifyShell(DefaultRunner):
 
         P = tiling.RB * tiling.K
         acc = jnp.zeros((tiling.n_tiles, P, 2), dtype=self.dtype)
+        run_into = getattr(run, "into", None)
         for bucket in buckets:
+            if run_into is not None:
+                # single dispatch per bucket: deposit + donated add fused
+                # (each dispatch is a blocking RPC on tunnelled backends)
+                acc = run_into(acc, bucket, pack,
+                               float(ln_r0), 1.0 / float(dlnr))
+                continue
             tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
             # donate acc: at NSIDE=4096 it is a 2.2 GB buffer and an
             # undonated .at[].add doubles it per bucket
@@ -575,7 +582,7 @@ class BaryonifyShell(DefaultRunner):
             acc = self._compiled[akey](acc, jnp.asarray(tids), out)
 
         # small halos: old scatter path on just those (if any)
-        po_small = None
+        acc_s = None
         if small.any():
             idx = np.where(small)[0]
             hd_s = {k: v[idx] for k, v in hd.items()}
@@ -583,21 +590,32 @@ class BaryonifyShell(DefaultRunner):
             make_body = self._make_body_factory(NSIDE, npix, [], curve_meta)
             acc_s = self._bucketed_accumulate(
                 make_body, hd_s, ex_s, (2 * (npix + 1),), self.dtype, NSIDE)
-            po_small = jnp.stack(
-                [acc_s[:npix], acc_s[npix + 1:2 * npix + 1]], axis=1)
 
         if return_acc:
-            if po_small is not None:
+            if acc_s is not None:
+                # fused flat->(npix,2)->tile-view add, both args donated:
+                # no standalone (npix, 2) intermediate survives the call
+                # (1.6 GB at NSIDE=4096)
                 vkey = ("tileview_po", NSIDE, acc.shape, str(acc.dtype))
                 if vkey not in self._compiled:
-                    self._compiled[vkey] = jax.jit(
-                        lambda a, p: a + tiling.tile_view(p),
-                        donate_argnums=0)
-                acc = self._compiled[vkey](acc, po_small)
+                    def _add_small(a, s):
+                        p = jnp.stack([s[:npix],
+                                       s[npix + 1:2 * npix + 1]], axis=1)
+                        return a + tiling.tile_view(p)
+                    # only a aliases the output; s dies with the call
+                    self._compiled[vkey] = jax.jit(_add_small,
+                                                   donate_argnums=0)
+                acc = self._compiled[vkey](acc, acc_s)
             return acc
         po = self._tile_flat_gather(tiling, npix, acc)
-        if po_small is not None:
-            po = po + po_small
+        if acc_s is not None:
+            pkey2 = ("posmall_add", NSIDE, str(self.dtype))
+            if pkey2 not in self._compiled:
+                self._compiled[pkey2] = jax.jit(
+                    lambda p, s: p + jnp.stack(
+                        [s[:npix], s[npix + 1:2 * npix + 1]], axis=1),
+                    donate_argnums=0)
+            po = self._compiled[pkey2](po, acc_s)
         return po
 
     # ------------------------------------------------------------------
@@ -622,11 +640,16 @@ class BaryonifyShell(DefaultRunner):
             thth = jnp.asarray(info["th_theta"][tb])
             thph = jnp.asarray(info["th_phi"][tb])
             Dg = jnp.asarray(info["D_geom"])
-            hot_fn = jax.jit(lambda a: (
-                (jnp.abs(a[:, :, 0]).max(axis=1) > thth)
-                | (jnp.abs(a[:, :, 1]).max(axis=1) > thph) | Dg))
-            self._compiled[skey] = (run, hot_fn)
-        run, hot_fn = self._compiled[skey]
+
+            # hot-tile detection + stencil in ONE dispatch (run traces
+            # through; each dispatch is a blocking RPC on tunnelled
+            # backends)
+            def combo(a, og):
+                excl = ((jnp.abs(a[:, :, 0]).max(axis=1) > thth)
+                        | (jnp.abs(a[:, :, 1]).max(axis=1) > thph) | Dg)
+                return run(a, og, excl), excl
+            self._compiled[skey] = jax.jit(combo)
+        combo = self._compiled[skey]
 
         okey = ("origtiled", NSIDE, str(rdt))
         if okey not in self._compiled:
@@ -644,8 +667,7 @@ class BaryonifyShell(DefaultRunner):
             self._compiled[otkey] = self._compiled[okey](orig_dev)
         orig_tiled = self._compiled[otkey]
 
-        excl = hot_fn(acc)
-        out_tiled = run(acc, orig_tiled, excl)
+        out_tiled, excl = combo(acc, orig_tiled)
 
         # scatter complement over the excluded tiles: compute the (small)
         # (pixel, weight) pairs first so the big acc buffer can be freed
@@ -688,9 +710,19 @@ class BaryonifyShell(DefaultRunner):
                 out = jnp.concatenate([flat, jnp.zeros(1, dtype=rdt)])
                 return out.at[cpix].add(vals)[:npix]
 
+            def finish(acc, out_tiled, orig_tiled, tids):
+                # small-map fast path: complement + flat view + add in one
+                # dispatch (acc and out_tiled die with the call; the tiny
+                # output cannot alias them, so no donation)
+                cpix, vals = compl_pairs(acc, orig_tiled, tids)
+                return add_pairs(tiling.flat_view(out_tiled), cpix, vals)
+
             self._compiled[ckey] = (jax.jit(compl_pairs),
-                                    jax.jit(add_pairs, donate_argnums=0))
-        compl_pairs, add_pairs = self._compiled[ckey]
+                                    jax.jit(add_pairs, donate_argnums=0),
+                                    jax.jit(finish))
+        compl_pairs, add_pairs, finish = self._compiled[ckey]
+        if npix <= (1 << 25):
+            return finish(acc, out_tiled, orig_tiled, jnp.asarray(tids))
         cpix, vals = compl_pairs(acc, orig_tiled, jnp.asarray(tids))
         cpix.block_until_ready()
         del acc, excl                            # free 2 npix-scale buffers
@@ -1168,7 +1200,13 @@ class PaintProfilesShell(DefaultRunner):
 
         P = tiling.RB * tiling.K
         acc = jnp.zeros((tiling.n_tiles, P), dtype=self.dtype)
+        run_into = getattr(run, "into", None)
         for bucket in buckets:
+            if run_into is not None:
+                # one dispatch per bucket (deposit + donated add fused)
+                acc = run_into(acc, bucket, pack, float(ln_r0),
+                               1.0 / float(dlnr))
+                continue
             tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
             acc = acc.at[jnp.asarray(tids)].add(out)
         flat = self._tile_flat_gather(tiling, npix, acc)

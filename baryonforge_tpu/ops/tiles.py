@@ -514,6 +514,24 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
 
     if mesh is None:
         jitted = jax.jit(run_all)
+        # fused variant: deposit + accumulator add in ONE dispatch, with
+        # the add INSIDE the chunk scan so the full (T_pad, P, 2) bucket
+        # output (2.2 GB when one bucket spans most NSIDE=4096 tiles)
+        # never materializes — peak extra memory is one (Tp, P, 2) chunk.
+        # Padded rows (hid all -1) emit exact zeros, so adding them to
+        # tile 0 (the tid pad value) is a value-level no-op; donating the
+        # accumulator keeps it single-copy. Each dispatch is a blocking
+        # RPC on the tunnelled backend, so one call per bucket instead of
+        # three is also a direct latency win.
+        def run_all_into(acc, tid, hid, pack, ln_r0, inv_dlnr):
+            def body(a, args):
+                t, h = args
+                out = jax.vmap(lambda ti, hi: one_tile(
+                    ti, hi, pack, ln_r0, inv_dlnr))(t, h)
+                return a.at[t].add(out.astype(a.dtype)), None
+            acc, _ = jax.lax.scan(body, acc, (tid, hid))
+            return acc
+        jitted_into = jax.jit(run_all_into, donate_argnums=0)
         ndev = 1
     else:
         # tiles are disjoint: shard the chunk axis across devices with
@@ -529,7 +547,7 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             out_specs=_PS(mesh_axis)))
     _dev_cache = {}
 
-    def run(bucket, pack, ln_r0, inv_dlnr):
+    def _bucket_on_device(bucket):
         tids_np, hidx_np = bucket
         key = id(hidx_np)
         if key not in _dev_cache:
@@ -553,9 +571,19 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             _dev_cache[key] = (jnp.asarray(tid.reshape(nch, Tp)),
                                jnp.asarray(hid.reshape(nch, Tp, Hp)),
                                hidx_np)
-        tid_d, hid_d, _ = _dev_cache[key]
+        return _dev_cache[key]
+
+    def run(bucket, pack, ln_r0, inv_dlnr):
+        tids_np, _ = bucket
+        tid_d, hid_d, _ = _bucket_on_device(bucket)
         out = jitted(tid_d, hid_d, pack, ln_r0, inv_dlnr)
         return tids_np, out[:tids_np.shape[0]]
+
+    if mesh is None:
+        def run_into(acc, bucket, pack, ln_r0, inv_dlnr):
+            tid_d, hid_d, _ = _bucket_on_device(bucket)
+            return jitted_into(acc, tid_d, hid_d, pack, ln_r0, inv_dlnr)
+        run.into = run_into
 
     return run
 
