@@ -767,7 +767,9 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
     RB, K = tiling.RB, tiling.K
     P = RB * K
     info = stencil_host_info(tiling, W=W, Wc=Wc)
-    nbr_d = jnp.asarray(info["nbr"].reshape(tiling.n_tiles, 9))
+    # (9, n_tiles): minor dim n_tiles avoids XLA's 14x tile-padding of a
+    # (n_tiles, 9) literal (measured 265 MB at NSIDE=4096)
+    nbr_d = jnp.asarray(info["nbr"].reshape(tiling.n_tiles, 9).T)
     tile_i0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
     tile_s = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
     tile_S = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
@@ -804,7 +806,12 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
         return r_ok, theta, dphi, phi0, segC, segL
 
     def one_tile(tid, po_t, orig_t, excl):
-        parts = nbr_d[tid]                       # (9,)
+        # po_t/orig_t stay in their flat (n_tiles, P, ...) layout (P=512
+        # tiles cleanly onto (8,128)); reshaping the FULL buffers to
+        # (n_tiles, RB, K, ...) up front makes XLA materialize 4x-padded
+        # copies (measured 8.3 GB at NSIDE=4096) — only the 9-tile gather
+        # result is reshaped here
+        parts = nbr_d[:, tid]                    # (9,)
         pvalid = parts >= 0
         pc = jnp.maximum(parts, 0)
         po9 = po_t[pc].reshape(3, 3, RB, K, 2)
@@ -954,9 +961,7 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
     tid_d = jnp.asarray(tid_np.reshape(nch, Tp))
 
     def run(po_tiled, orig_tiled, excl):
-        po_t = po_tiled.reshape(n_tiles, RB, K, 2)
-        og_t = orig_tiled.reshape(n_tiles, RB, K)
-        out = jitted(tid_d, po_t, og_t, excl)
+        out = jitted(tid_d, po_tiled, orig_tiled, excl)
         return out[:n_tiles]
 
     return run, info
