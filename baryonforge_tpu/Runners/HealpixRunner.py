@@ -669,23 +669,27 @@ class BaryonifyShell(DefaultRunner):
 
         out_tiled, excl = combo(acc, orig_tiled)
 
-        # scatter complement over the excluded tiles: compute the (small)
-        # (pixel, weight) pairs first so the big acc buffer can be freed
-        # before the memory-hungry flat view
+        # scatter complement over the excluded tiles, CHUNKED: per-chunk
+        # (Tc, P, 4) weight intermediates stay small no matter how many
+        # tiles are excluded (the polar caps route ~40% of tiles here —
+        # an unchunked vmap materialized a 64 GiB padded intermediate at
+        # NSIDE=4096), and the whole finish (flat view + complement
+        # scatter) is ONE dispatch.
         ids = np.where(np.asarray(excl))[0].astype(np.int32)
-        S = 8
-        while S < ids.size:
-            S *= 2
-        tids = np.full(S, -1, dtype=np.int32)
+        Tc = 512
+        nch = 1
+        while nch * Tc < ids.size:
+            nch *= 2
+        tids = np.full(nch * Tc, -1, dtype=np.int32)
         tids[:ids.size] = ids
-        ckey = ("stencil_compl", NSIDE, str(rdt), S)
+        ckey = ("stencil_compl", NSIDE, str(rdt), nch)
         if ckey not in self._compiled:
             RB, K = tiling.RB, tiling.K
             ti0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
             tss = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
             tSS = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
 
-            def compl_pairs(acc, orig_tiled, tids):
+            def pairs_for(acc, orig_tiled, tid_chunk):
                 def one(tid):
                     ok = tid >= 0
                     t = jnp.maximum(tid, 0)
@@ -703,32 +707,24 @@ class BaryonifyShell(DefaultRunner):
                     return (cpix.reshape(-1),
                             (cw * val[..., None].astype(rdt)).reshape(-1))
 
-                cpix, vals = jax.vmap(one)(tids)
+                cpix, vals = jax.vmap(one)(tid_chunk)
                 return cpix.reshape(-1), vals.reshape(-1)
 
-            def add_pairs(flat, cpix, vals):
-                out = jnp.concatenate([flat, jnp.zeros(1, dtype=rdt)])
-                return out.at[cpix].add(vals)[:npix]
-
             def finish(acc, out_tiled, orig_tiled, tids):
-                # small-map fast path: complement + flat view + add in one
-                # dispatch (acc and out_tiled die with the call; the tiny
-                # output cannot alias them, so no donation)
-                cpix, vals = compl_pairs(acc, orig_tiled, tids)
-                return add_pairs(tiling.flat_view(out_tiled), cpix, vals)
+                out = jnp.concatenate([tiling.flat_view(out_tiled),
+                                       jnp.zeros(1, dtype=rdt)])
 
-            self._compiled[ckey] = (jax.jit(compl_pairs),
-                                    jax.jit(add_pairs, donate_argnums=0),
-                                    jax.jit(finish))
-        compl_pairs, add_pairs, finish = self._compiled[ckey]
-        if npix <= (1 << 25):
-            return finish(acc, out_tiled, orig_tiled, jnp.asarray(tids))
-        cpix, vals = compl_pairs(acc, orig_tiled, jnp.asarray(tids))
-        cpix.block_until_ready()
-        del acc, excl                            # free 2 npix-scale buffers
-        flat = self._tile_flat_gather(tiling, npix, out_tiled)
-        del out_tiled
-        return add_pairs(flat, cpix, vals)
+                def body(o, tid_chunk):
+                    cpix, vals = pairs_for(acc, orig_tiled, tid_chunk)
+                    return o.at[cpix].add(vals), None
+
+                out, _ = jax.lax.scan(body, out, tids)
+                return out[:npix]
+
+            self._compiled[ckey] = jax.jit(finish)
+        finish = self._compiled[ckey]
+        return finish(acc, out_tiled, orig_tiled,
+                      jnp.asarray(tids.reshape(nch, Tc)))
 
     @staticmethod
     def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig,
