@@ -658,8 +658,11 @@ def stencil_host_info(tiling, W=2, Wc=5, i_min=128):
     i0 = tiling.i0
     i_hi = np.minimum(i0 + RB - 1, n_rings)
     blk_bad = (i0 < i_min) | (i_hi > n_rings + 1 - i_min)
-    # the stencil's segment-placement select covers seg in [K-8, K]
-    # (including the W margin rings of the vertical neighbours)
+    # the stencil's segment-placement select covers any seg in [Wc, K]:
+    # the horizontal window [j0 - Wc, j0 + seg + Wc) is covered by the
+    # left/center/right segments iff each neighbour segment is at least
+    # Wc long (cap segments are nr/S ~ 4i/S pixels — far below K near
+    # the poles, where tiles are scatter-routed)
     K = tiling.K
     nr_of0 = lambda i: np.where(i < N, 4 * i,
                                 np.where(i > 3 * N, 4 * (4 * N - i),
@@ -668,7 +671,10 @@ def stencil_host_info(tiling, W=2, Wc=5, i_min=128):
     i_hi_m = np.clip(i_hi + W + 1, 1, n_rings)
     nr_min_m = np.minimum(nr_of0(i_lo_m), nr_of0(i_hi_m))
     seg_min = nr_min_m // np.maximum(tiling.S, 1)
-    blk_bad |= seg_min < K - 8
+    blk_bad |= seg_min < Wc
+    # the slab window spans up to K + 2*Wc ring columns; rings shorter
+    # than that would wrap a source into the window twice
+    blk_bad |= nr_min_m < K + 2 * Wc
     S = tiling.S
     sameS_up = np.zeros(nb, bool)
     sameS_dn = np.zeros(nb, bool)
@@ -801,8 +807,12 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
         segC = j1c - j0c
         # left segment length (mod nr handles the wrap at s=0)
         segL = jnp.mod(j0c - j0_of(sm), nr)
-        dphi = (2.0 * jnp.pi / nr).astype(rdt)
-        phi0 = (j0c.astype(rdt) + 0.5 * sh.astype(rdt)) * dphi
+        # dphi/phi0 stay float64: the phi weight must be formed in
+        # COLUMN units (see one_tile) and these feed the per-row scale /
+        # offset of that coordinate
+        dphi = 2.0 * jnp.pi / nr
+        phi0 = (j0c.astype(jnp.float64)
+                + 0.5 * sh.astype(jnp.float64)) * dphi
         return r_ok, theta, dphi, phi0, segC, segL
 
     def one_tile(tid, po_t, orig_t, excl):
@@ -846,62 +856,53 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
         Q = K + 2 * Wc
         q = jnp.arange(Q, dtype=jnp.int32)
 
-        def shift_static(arr, s):
-            """out[..., q] = arr[..., q - s] (zero outside), s python int;
-            arr (..., K, ...) along axis 1, out length Q."""
-            lo = max(-s, 0)
-            hi = min(K, Q - s)
-            if hi <= lo:
-                return jnp.zeros(arr.shape[:1] + (Q,) + arr.shape[2:],
-                                 dtype=arr.dtype)
-            sl = arr[:, lo:hi]
-            lpad = lo + s
-            rpad = Q - lpad - (hi - lo)
-            pads = [(0, 0), (lpad, rpad)] + [(0, 0)] * (arr.ndim - 2)
-            return jnp.pad(sl, pads)
-
-        def place(po_p, og_p, start_of, sel_vec, valid_len=None):
-            """Select per row among the three possible static placements
-            (segment lengths are in {K-2, K-1, K}); optionally clip the
-            part to its own valid slot range first."""
+        def place(po_p, og_p, start, valid_len=None):
+            """Shift each row's K storage slots to slab columns
+            [start_r, start_r + K) — one tiny (rows, Q) gather, exact for
+            ANY per-row segment length (cap segments run from Wc up to
+            K); optionally clip the part to its own valid slot range."""
             if valid_len is not None:
                 vmask = jnp.arange(K)[None, :] < valid_len[:, None]
                 og_p = jnp.where(vmask, og_p, 0.0)
                 po_p = jnp.where(vmask[:, :, None], po_p, 0.0)
-            og_out = jnp.zeros((og_p.shape[0], Q), dtype=og_p.dtype)
-            po_out = jnp.zeros((po_p.shape[0], Q, 2), dtype=po_p.dtype)
-            # cap-block segment lengths vary with each ring's nr: cover
-            # the full possible range (eligibility guarantees seg >= K-8,
-            # see stencil_host_info)
-            for d in range(K - 8, K + 1):
-                selr = (sel_vec == d)[:, None]
-                og_out = jnp.where(selr, shift_static(og_p, start_of(d)),
-                                   og_out)
-                po_out = jnp.where(selr[:, :, None],
-                                   shift_static(po_p, start_of(d)),
-                                   po_out)
+            src = jnp.arange(Q)[None, :] - start[:, None]    # (rows, Q)
+            okc = (src >= 0) & (src < K)
+            srcc = jnp.clip(src, 0, K - 1)
+            og_out = jnp.where(
+                okc, jnp.take_along_axis(og_p, srcc, axis=1), 0.0)
+            po_out = jnp.where(
+                okc[..., None],
+                jnp.take_along_axis(
+                    po_p, jnp.broadcast_to(srcc[..., None],
+                                           srcc.shape + (2,)), axis=1),
+                0.0)
             return og_out, po_out
 
         # left: start = Wc - segL, clip to its own segL slots
-        ogLs, poLs = place(poL, ogL, lambda d: Wc - d, segL,
-                           valid_len=segL)
+        ogLs, poLs = place(poL, ogL, Wc - segL, valid_len=segL)
         # center: fixed placement at Wc, clip to segC
-        cm = jnp.arange(K)[None, :] < segC[:, None]
-        ogCs = shift_static(jnp.where(cm, ogC, 0.0), Wc)
-        poCs = shift_static(jnp.where(cm[:, :, None], poC, 0.0), Wc)
+        ogCs, poCs = place(poC, ogC, jnp.full_like(segC, Wc),
+                           valid_len=segC)
         # right: start = Wc + segC; its dead slots are zero in the
         # accumulator (phase A masks invalid slots)
-        ogRs, poRs = place(poR, ogR, lambda d: Wc + d, segC)
+        ogRs, poRs = place(poR, ogR, Wc + segC)
         og_s = ogLs + ogCs + ogRs
         po_s = poLs + poCs + poRs                        # (rows, Q, 2)
 
+        # source phi is carried as a COLUMN coordinate in the source
+        # ring's own grid: c_src = v + offset/(sin * dphi). Absolute-phi
+        # subtraction (O(2pi) values vs 2pi/nr spacings) turns f32
+        # rounding into a ONE-SIDED weight gain under the max(0, .) clip
+        # (measured +1.8e-5 total-mass violation at NSIDE=4096); in
+        # column units the zero-offset neighbour separation is an exact
+        # integer.
         v = q - Wc
-        phi_s = phi0_r[:, None] + (v[None, :].astype(rdt)
-                                   * dphi_r[:, None])
         sin_r = jnp.sin(theta_r)
         theta_src = theta_r[:, None] + po_s[:, :, 0].astype(rdt)
         sin_safe = jnp.where(sin_r > 1e-12, sin_r, 1.0)
-        phi_src = phi_s + po_s[:, :, 1].astype(rdt) / sin_safe[:, None]
+        col_scale = (sin_safe * dphi_r.astype(rdt))
+        c_src = (v[None, :].astype(rdt)
+                 + po_s[:, :, 1].astype(rdt) / col_scale[:, None])
         val_src = jnp.where(r_ok[:, None], og_s.astype(rdt), 0.0)
 
         # per-target-row theta brackets
@@ -910,28 +911,34 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
         th_dn = theta_r[M + 1:M + RB + 1]
         dm = jnp.maximum(th_t - th_up, 1e-30)
         dp = jnp.maximum(th_dn - th_t, 1e-30)
-        dphi_t = dphi_r[M:M + RB]
-        phi0_t = phi0_r[M:M + RB]
+        # per-target-row phi-grid relation to each source row, computed
+        # in float64 and cast: r0 = column offset of the source ring's
+        # grid origin in target columns (exactly 0 for same-nr rings),
+        # rat = source/target column width ratio (exactly 1 for same nr)
+        dphi_t = dphi_r[M:M + RB]                        # f64
+        phi0_t = phi0_r[M:M + RB]                        # f64
 
         out = jnp.zeros((RB, K), dtype=rdt)
-        vt = jnp.arange(K, dtype=jnp.int32)
-        phi_tgt = phi0_t[:, None] + vt[None, :].astype(rdt) \
-            * dphi_t[:, None]
+        vt = jnp.arange(K, dtype=jnp.int32).astype(rdt)
 
         for du in range(-M, M + 1):
+            p0s = phi0_r[M + du:M + du + RB]
+            d_s = dphi_r[M + du:M + du + RB]
+            r0 = ((p0s - phi0_t) / dphi_t).astype(rdt)   # (RB,)
+            rat = (d_s / dphi_t).astype(rdt)             # (RB,)
             for dv in range(-Wc, Wc + 1):
                 ts_ = theta_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
-                ps_ = phi_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
+                cs_ = c_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
                 vs_ = val_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
                 d = ts_ - th_t[:, None]
                 wth = jnp.where(
                     d <= 0, jnp.maximum(0.0, 1.0 + d / dm[:, None]),
                     jnp.maximum(0.0, 1.0 - d / dp[:, None]))
-                dphi = ps_ - phi_tgt
-                dphi = dphi - 2.0 * jnp.pi * jnp.round(
-                    dphi / (2.0 * jnp.pi))
-                wph = jnp.maximum(0.0, 1.0 - jnp.abs(dphi)
-                                  / dphi_t[:, None])
+                # source column in target units; |spacing| = 1 by
+                # construction, no 2pi wrap needed (slab coordinates are
+                # continuous across the ring seam)
+                x = r0[:, None] + cs_ * rat[:, None] - vt[None, :]
+                wph = jnp.maximum(0.0, 1.0 - jnp.abs(x))
                 out = out + wth * wph * vs_
         return out.reshape(P)
 
