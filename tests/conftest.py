@@ -3,6 +3,13 @@
 XLA flags must be set before jax initializes; the axon TPU plugin (if
 present) force-sets jax_platforms at interpreter startup, so we override it
 again through jax.config after import.
+
+Wall-time note: the suite's cost is per-test XLA:CPU tracing/compiles
+(the persistent cache below removes recompiles, not retraces). On a
+multi-core CI runner ``-m "not slow"`` is the per-push lane; the
+slow-marked physics guards run in the nightly lane
+(.github/workflows/tests.yml). On a single-core dev box expect
+~15-30 min for the not-slow lane.
 """
 
 import os
