@@ -143,6 +143,16 @@ def main():
 
     results = {"nside": nside, "n_halos": n_halos}
 
+    def checkpoint():
+        # partial-result emit: a timeout mid-run (cold compiles can eat
+        # most of a wall-clock budget) must not lose the stages already
+        # measured — NORTHSTAR.json is rewritten after every stage
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "NORTHSTAR.json")
+        with open(out_path, "w") as f:
+            f.write(json.dumps(results) + "\n")
+        print(f"# checkpoint: {json.dumps(results)}", file=sys.stderr)
+
     # ---------------- baryonify ----------------
     runner = Runners.BaryonifyShell(cat, shell, epsilon_max=20,
                                     model=model, halo_batch=8192,
@@ -164,6 +174,7 @@ def main():
     results["baryonify_compute_s"] = round(bary[i][1], 2)
     results["baryonify_transfer_s"] = round(bary[i][2], 2)
     print(f"# baryonify: {bary}", file=sys.stderr)
+    checkpoint()
 
     # per-phase split (device-only, via runner internals)
     hkey = next(k for k in runner._compiled if k[0] == "hostprep")
@@ -173,6 +184,7 @@ def main():
                                 return_acc=True)
     acc.block_until_ready()
     results["phase_a_s"] = round(time.time() - t0, 2)
+    checkpoint()
     old_sum = np.asarray(shell.map, dtype=np.float64).sum()
     orig_dev = runner._device_map(np.asarray(shell.map, np.float64),
                                   jnp.float32, old_sum)
@@ -181,6 +193,7 @@ def main():
                                 host_sum=old_sum)
     nd.block_until_ready()
     results["phase_b_stencil_s"] = round(time.time() - t0, 2)
+    checkpoint()
     del nd, acc
 
     # ---------------- paint ----------------
@@ -190,6 +203,7 @@ def main():
     t0 = time.time()
     pout = paint_runner.process()
     print(f"# paint warmup: {time.time()-t0:.1f} s", file=sys.stderr)
+    checkpoint()
     paint = []
     for _ in range(args.repeats):
         t0 = time.time()
@@ -214,6 +228,7 @@ def main():
     halo_bound = (results["phase_a_s"] + results["paint_compute_s"])
     fixed = results["phase_b_stencil_s"]
     results["projected_v5e8_s"] = round(halo_bound / 8 + fixed + 0.2, 2)
+    checkpoint()
     print(json.dumps(results))
 
 
