@@ -416,8 +416,14 @@ class BaryonifyShell(DefaultRunner):
                 and not getattr(self.model, "p_keys", []))
 
     def _halo_curve_arrays(self, hd):
-        """Host-side per-halo curve data: (curves, Rcom, rscale) arrays and
-        (ln_r0, dlnr) scalars."""
+        """Per-halo curve data: (curves, Rcom, rscale) arrays and
+        (ln_r0, dlnr) scalars.
+
+        ``curves`` stays a DEVICE array: it is computed on device and
+        consumed on device ((n_halos, n_r) is 256 MB at 1e6 halos in f32 —
+        a host round trip costs tens of minutes over a tunnelled link).
+        Scatter-path consumers that need host values slice the (small)
+        subset they use first."""
         model = self.model
         if self.dtype == jnp.float32 and hasattr(model, "with_dtype"):
             model = model.with_dtype(self.dtype)
@@ -427,7 +433,9 @@ class BaryonifyShell(DefaultRunner):
         Rcom = hd["R"] / hd["a"]
         rscale = (1.0 / Rcom if getattr(model, "Rdelta_sampling", False)
                   else np.ones_like(Rcom))
-        return (np.asarray(curves), Rcom, rscale,
+        if curves.dtype != self.dtype:
+            curves = curves.astype(self.dtype)
+        return (curves, Rcom, rscale,
                 float(ln_r0), float(dlnr))
 
     def _make_body_factory(self, NSIDE, npix, keys, curve_meta=None):
@@ -1102,10 +1110,15 @@ class PaintProfilesShell(DefaultRunner):
         # constant (z, M) axes are interpolated once per halo host-side
         curve_meta = None
         if hasattr(model, "halo_curves") and not keys:
+            # curves stay on device: (n_halos, n_r) is 256 MB at 1e6
+            # halos in f32, and a host round trip over a tunnelled link
+            # costs minutes (see _halo_curve_arrays)
             curves, ln_r0, dlnr = jax.jit(
                 lambda M, a: model.halo_curves(M, a, kind="projected"))(
                 hd["M"], hd["a"])
-            extras = extras + [np.asarray(curves)]
+            if curves.dtype != dt:
+                curves = curves.astype(dt)
+            extras = extras + [curves]
             curve_meta = (float(ln_r0), float(dlnr))
 
         if self._tiles_available(curve_meta):
@@ -1183,8 +1196,13 @@ class PaintProfilesShell(DefaultRunner):
                 afac = afac * pixarea * hd["D"] ** 2
             pack["afac"] = jnp.asarray(afac).astype(self.dtype)
             # clamp -inf log rows: exp(-80) reads as 0 without NaN risk
-            pack["curves"] = jnp.asarray(
-                np.maximum(curves, -80.0)).astype(self.dtype)
+            # (jitted: curves live on device, jnp.maximum eager would
+            # dispatch a per-call RPC and np.maximum would download them)
+            ckey = ("curveclamp", curves.shape, str(self.dtype))
+            if ckey not in self._compiled:
+                self._compiled[ckey] = jax.jit(
+                    lambda c: jnp.maximum(c, -80.0).astype(self.dtype))
+            pack["curves"] = self._compiled[ckey](jnp.asarray(curves))
             run = _tiles.make_tile_deposit(tiling, curves.shape[1],
                                            mode="paint", dtype=self.dtype,
                                            log_curves=True,
