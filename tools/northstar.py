@@ -235,16 +235,18 @@ def main():
     results["paint_transfer_s"] = round(paint[i][2], 2)
     print(f"# paint: {paint}", file=sys.stderr)
 
-    total_compute = (results["baryonify_compute_s"]
+    # single-chip device total from the WARM per-phase numbers (the e2e
+    # compute_s fields above are inflated by RPC/link congestion on the
+    # tunnelled backend — phases are measured blocked and warm)
+    total_compute = (results["phase_a_s"] + results["phase_b_stencil_s"]
                      + results["paint_compute_s"])
     results["total_compute_s_1chip"] = round(total_compute, 2)
-    # v5e-8 extrapolation: phase A and paint shard over tiles/halos
-    # (tested tile-axis shard_map + psum paths); phase B stencil is
-    # halo-independent and its source chunks shard. ICI psum of the f32
-    # map (~0.8 GB) adds ~0.1 s/pass.
-    halo_bound = (results["phase_a_s"] + results["paint_compute_s"])
-    fixed = results["phase_b_stencil_s"]
-    results["projected_v5e8_s"] = round(halo_bound / 8 + fixed + 0.2, 2)
+    # v5e-8 extrapolation: every phase shards — phase A and paint over
+    # the tile/halo axes (tested shard_map + psum paths,
+    # tests/test_multichip.py), the stencil phase B over its disjoint
+    # output tiles (mesh mode, same tests). ICI psum of the f32 map
+    # (~0.8 GB at NSIDE=4096) adds ~0.2 s/pass.
+    results["projected_v5e8_s"] = round(total_compute / 8 + 0.2, 2)
     checkpoint()
     print(json.dumps(results))
 
