@@ -734,6 +734,52 @@ class BaryonifyShell(DefaultRunner):
         return finish(acc, out_tiled, orig_tiled,
                       jnp.asarray(tids.reshape(nch, Tc)))
 
+    def stencil_stage_times(self, NSIDE, npix, rdt):
+        """Warm, blocked per-dispatch timings of the stencil phase B
+        (diagnostics; tools/stencil_bench.py). Requires a prior
+        process() call (warm caches). Returns a dict of seconds."""
+        hkey = next(k for k in self._compiled if k[0] == "hostprep")
+        hd, extras, curve_meta = self._compiled[hkey]
+        old_sum = float(np.asarray(self.LightconeShell.map,
+                                   dtype=np.float64).sum())
+        orig_dev = self._device_map(
+            np.asarray(self.LightconeShell.map, np.float64), rdt, old_sum)
+        out = {}
+        for rep in range(2):
+            t0 = time.time()
+            acc = self._tiled_phase_a(hd, extras, curve_meta, NSIDE, npix,
+                                      return_acc=True)
+            acc.block_until_ready()
+            out["phase_a_s"] = round(time.time() - t0, 3)
+        # pieces of _regrid_stencil, timed per dispatch
+        combo = self._compiled[("stencilrun", NSIDE, str(rdt),
+                                self.mesh is None)]
+        otkey = ("origtiled_val", id(self.LightconeShell.map), old_sum)
+        orig_tiled = self._compiled[otkey]
+        for rep in range(2):
+            t0 = time.time()
+            out_tiled, excl = combo(acc, orig_tiled)
+            jax.block_until_ready((out_tiled, excl))
+            out["combo_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ids = np.where(np.asarray(excl))[0].astype(np.int32)
+        out["excl_fetch_s"] = round(time.time() - t0, 3)
+        out["excl_frac"] = round(float(len(ids)) / excl.shape[0], 4)
+        Tc = 512
+        nch = 1
+        while nch * Tc < ids.size:
+            nch *= 2
+        tids = np.full(nch * Tc, -1, dtype=np.int32)
+        tids[:ids.size] = ids
+        finish = self._compiled[("stencil_compl", NSIDE, str(rdt), nch)]
+        tid_dev = jnp.asarray(tids.reshape(nch, Tc))
+        for rep in range(2):
+            t0 = time.time()
+            nd = finish(acc, out_tiled, orig_tiled, tid_dev)
+            nd.block_until_ready()
+            out["finish_s"] = round(time.time() - t0, 3)
+        return out
+
     @staticmethod
     def _phase_b(NSIDE, npix, rdt, ang_base, pix_offsets, orig,
                  chunk_cap=(1 << 24)):

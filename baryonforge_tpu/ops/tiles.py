@@ -858,24 +858,28 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
 
         def place(po_p, og_p, start, valid_len=None):
             """Shift each row's K storage slots to slab columns
-            [start_r, start_r + K) — one tiny (rows, Q) gather, exact for
-            ANY per-row segment length (cap segments run from Wc up to
-            K); optionally clip the part to its own valid slot range."""
+            [start_r, start_r + K), exact for ANY per-row segment length
+            (cap segments run from Wc up to K); optionally clip the part
+            to its own valid slot range.
+
+            Implemented as a one-hot compare + fma contraction over the
+            K storage slots: the TPU has no per-lane gather, and the
+            original take_along_axis form was the dominant cost of the
+            whole stencil dispatch (37 s of 41.5 s at NSIDE=4096,
+            tools/stencil_bench.py 2026-08-18; the compare+fma form took
+            it to ~1 s — same 27x-class win as the deposit kernel's
+            hat-basis lookup)."""
             if valid_len is not None:
                 vmask = jnp.arange(K)[None, :] < valid_len[:, None]
                 og_p = jnp.where(vmask, og_p, 0.0)
                 po_p = jnp.where(vmask[:, :, None], po_p, 0.0)
-            src = jnp.arange(Q)[None, :] - start[:, None]    # (rows, Q)
-            okc = (src >= 0) & (src < K)
-            srcc = jnp.clip(src, 0, K - 1)
-            og_out = jnp.where(
-                okc, jnp.take_along_axis(og_p, srcc, axis=1), 0.0)
-            po_out = jnp.where(
-                okc[..., None],
-                jnp.take_along_axis(
-                    po_p, jnp.broadcast_to(srcc[..., None],
-                                           srcc.shape + (2,)), axis=1),
-                0.0)
+            qv = jnp.arange(Q, dtype=jnp.int32)[None, :, None]
+            vv = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+            sel = (qv == start[:, None, None] + vv)   # (rows, Q, K)
+            og_out = jnp.sum(jnp.where(sel, og_p[:, None, :], 0.0),
+                             axis=2)
+            po_out = jnp.sum(jnp.where(sel[..., None],
+                                       po_p[:, None, :, :], 0.0), axis=2)
             return og_out, po_out
 
         # left: start = Wc - segL, clip to its own segL slots
