@@ -688,6 +688,10 @@ class BaryonifyShell(DefaultRunner):
         nch = 1
         while nch * Tc < ids.size:
             nch *= 2
+        if self.mesh is not None:
+            # chunk axis shards across the mesh (power-of-2 nch divides
+            # any power-of-2 device count once >= ndev)
+            nch = max(nch, self.mesh.devices.size)
         tids = np.full(nch * Tc, -1, dtype=np.int32)
         tids[:ids.size] = ids
         ckey = ("stencil_compl", NSIDE, str(rdt), nch)
@@ -729,7 +733,31 @@ class BaryonifyShell(DefaultRunner):
                 out, _ = jax.lax.scan(body, out, tids)
                 return out[:npix]
 
-            self._compiled[ckey] = jax.jit(finish)
+            if self.mesh is None:
+                self._compiled[ckey] = jax.jit(finish)
+            else:
+                # mesh mode: shard the excluded-tile chunk axis (the
+                # serialized scatter is the cost) and psum the partial
+                # maps; acc/orig/out_tiled replicate
+                from jax.sharding import PartitionSpec as _PS
+
+                def local(acc, out_tiled, orig_tiled, tids_local):
+                    z = compat.pvary(jnp.zeros(npix + 1, dtype=rdt),
+                                     ("halos",))
+
+                    def body(o, tid_chunk):
+                        cpix, vals = pairs_for(acc, orig_tiled,
+                                               tid_chunk)
+                        return o.at[cpix].add(vals), None
+
+                    z, _ = jax.lax.scan(body, z, tids_local)
+                    return (jax.lax.psum(z[:npix], "halos")
+                            + tiling.flat_view(out_tiled))
+
+                self._compiled[ckey] = jax.jit(jax.shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(_PS(), _PS(), _PS(), _PS("halos")),
+                    out_specs=_PS()))
         finish = self._compiled[ckey]
         return finish(acc, out_tiled, orig_tiled,
                       jnp.asarray(tids.reshape(nch, Tc)))
