@@ -594,13 +594,22 @@ def bucket_tiles(tile_ids, halo_ids, n_buckets=4, h_align=8):
 
     Returns a list of (tiles (T,), halo_idx (T, H) int32 padded with -1).
     """
-    order = np.argsort(tile_ids, kind="stable")
+    # int32 keys: tile ids are < n_tiles << 2^31 and the stable radix
+    # argsort runs ~2x faster on half-width keys (24.8M pairs at
+    # NSIDE=4096/1e6 halos is a measured multi-minute host-prep stage)
+    order = np.argsort(tile_ids.astype(np.int32), kind="stable")
     t_sorted = tile_ids[order]
     h_sorted = halo_ids[order]
-    utiles, starts, counts = np.unique(t_sorted, return_index=True,
-                                       return_counts=True)
-    if utiles.size == 0:
+    if t_sorted.size == 0:
         return []
+    # np.unique would SORT AGAIN (it ignores existing order); the input
+    # is already tile-sorted, so boundaries are just neighbour diffs
+    bnd = np.empty(t_sorted.size, dtype=bool)
+    bnd[0] = True
+    np.not_equal(t_sorted[1:], t_sorted[:-1], out=bnd[1:])
+    starts = np.flatnonzero(bnd)
+    utiles = t_sorted[starts]
+    counts = np.diff(np.append(starts, t_sorted.size))
     # bucket edges: geometric in count
     cmax = int(counts.max())
     edges = [0]
@@ -622,7 +631,7 @@ def bucket_tiles(tile_ids, halo_ids, n_buckets=4, h_align=8):
         rows = np.repeat(np.arange(T), ct)
         cols = (np.arange(ct.sum())
                 - np.repeat(np.concatenate([[0], np.cumsum(ct)[:-1]]), ct))
-        src = np.concatenate([np.arange(s, s + c) for s, c in zip(st, ct)])
+        src = np.repeat(st, ct) + cols      # vectorized run expansion
         hidx[rows, cols] = h_sorted[src].astype(np.int32)
         buckets.append((utiles[sel].astype(np.int32), hidx))
     return buckets
