@@ -657,6 +657,7 @@ class BaryonifyShell(DefaultRunner):
                         | (jnp.abs(a[:, :, 1]).max(axis=1) > thph) | Dg)
                 return run(a, og, excl), excl
             self._compiled[skey] = jax.jit(combo)
+            self._compiled[("stencilinfo", NSIDE)] = info
         combo = self._compiled[skey]
 
         okey = ("origtiled", NSIDE, str(rdt))
@@ -676,30 +677,99 @@ class BaryonifyShell(DefaultRunner):
         orig_tiled = self._compiled[otkey]
 
         out_tiled, excl = combo(acc, orig_tiled)
+        return self._stencil_complement(NSIDE, npix, rdt, acc, out_tiled,
+                                        orig_tiled, excl)
 
-        # scatter complement over the excluded tiles, CHUNKED: per-chunk
-        # (Tc, P, 4) weight intermediates stay small no matter how many
-        # tiles are excluded (the polar caps route ~40% of tiles here —
-        # an unchunked vmap materialized a 64 GiB padded intermediate at
-        # NSIDE=4096), and the whole finish (flat view + complement
-        # scatter) is ONE dispatch.
-        ids = np.where(np.asarray(excl))[0].astype(np.int32)
-        Tc = 512
-        nch = 1
-        while nch * Tc < ids.size:
-            nch *= 2
-        if self.mesh is not None:
-            # chunk axis shards across the mesh (power-of-2 nch divides
-            # any power-of-2 device count once >= ndev)
-            nch = max(nch, self.mesh.devices.size)
-        tids = np.full(nch * Tc, -1, dtype=np.int32)
-        tids[:ids.size] = ids
-        ckey = ("stencil_compl", NSIDE, str(rdt), nch)
-        if ckey not in self._compiled:
-            RB, K = tiling.RB, tiling.K
+    def _stencil_complement(self, NSIDE, npix, rdt, acc, out_tiled,
+                            orig_tiled, excl):
+        """Scatter complement of the stencil: geometric tiles via a
+        COMPACT static source list (the padded whole-tile form scattered
+        27M slots for ~4M real pixels — 87% padding — and was 4.5 s of
+        the NSIDE=4096 phase B), hot tiles (rare; measured 0% even at
+        1e6-halo density) via the chunked whole-tile path. Fused with
+        the tile->ring flat view into one dispatch; mesh mode shards the
+        source axis and psums."""
+        from ..ops import tiles as _tiles
+
+        tiling = self._get_tiling(NSIDE)
+        P = tiling.RB * tiling.K
+        info = self._compiled[("stencilinfo", NSIDE)]
+        Dg_np = np.asarray(info["D_geom"])
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+
+        # one-time compact (tile*P + slot) list of the geometric tiles'
+        # VALID pixel slots, built on device (no big host upload: only
+        # the ~Tg tile ids cross the link; count is exact host math)
+        gkey = ("stencil_geo", NSIDE, ndev)
+        if gkey not in self._compiled:
+            g_tids = np.where(Dg_np)[0].astype(np.int32)
+            n_valid = _tiles.count_valid_slots(tiling, g_tids)
+            n_pad = -(-n_valid // ndev) * ndev
             ti0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
             tss = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
             tSS = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
+
+            def build(gt):
+                _, valid = jax.vmap(lambda t: tiling.slot_pix(
+                    ti0[t], tss[t], tSS[t]))(gt)
+                sf = (gt[:, None] * P
+                      + jnp.arange(P, dtype=jnp.int32)[None, :])
+                idx, = jnp.nonzero(valid.reshape(-1), size=n_pad,
+                                   fill_value=-1)
+                return jnp.where(idx >= 0, sf.reshape(-1)[
+                    jnp.maximum(idx, 0)], -1)
+
+            self._compiled[gkey] = jax.jit(build)(jnp.asarray(g_tids))
+        sf_c = self._compiled[gkey]
+
+        hot_ids = np.where(np.asarray(excl) & ~Dg_np)[0].astype(np.int32)
+        Tc = 512
+        nch = ndev
+        while nch * Tc < hot_ids.size:
+            nch *= 2
+        has_hot = hot_ids.size > 0
+        tids = np.full(nch * Tc, -1, dtype=np.int32)
+        tids[:hot_ids.size] = hot_ids
+
+        ckey = ("stencil_compl", NSIDE, str(rdt), has_hot,
+                nch if has_hot else 0)
+        if ckey not in self._compiled:
+            RB, K = tiling.RB, tiling.K
+            N_ = tiling.nside
+            ti0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
+            tss = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
+            tSS = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
+
+            def geo_pairs(acc, orig_tiled, sf):
+                """Weights for compact sources; the per-element ring math
+                is bit-identical to SkyTiling.slot_pixels."""
+                ok = sf >= 0
+                sfc = jnp.maximum(sf, 0)
+                t = sfc // P
+                rem = sfc - t * P
+                u = rem // K
+                v = rem - u * K
+                i_c = jnp.clip(ti0[t] + u, 1, 4 * N_ - 1)
+                sp, nr, _, sh = hpx.ring_info(N_, i_c, jnp.float64)
+                sh_i = sh.astype(jnp.int32)
+                S = tSS[t]
+                s = tss[t]
+                j0 = (2 * s * nr - sh_i * S + 2 * S - 1) // (2 * S)
+                j = j0 + v
+                jw = jnp.where(j < nr, j, j - nr)
+                pix = sp + jw
+                theta = hpx.ring_theta(N_, i_c, jnp.float64)
+                phi = ((jw.astype(jnp.float64) + 0.5 * sh)
+                       * (2.0 * jnp.pi / nr))
+                po = acc.reshape(-1, 2)[sfc]
+                og = orig_tiled.reshape(-1)[sfc]
+                cpix, cw = BaryonifyShell._weights_for(
+                    NSIDE, rdt, pix, po, theta.astype(rdt),
+                    phi.astype(rdt))
+                val = jnp.where(ok, og, 0.0)
+                cpix = jnp.where(ok[..., None], cpix, npix)
+                return (cpix.reshape(-1),
+                        (cw * val[..., None].astype(rdt)).reshape(-1))
 
             def pairs_for(acc, orig_tiled, tid_chunk):
                 def one(tid):
@@ -722,44 +792,45 @@ class BaryonifyShell(DefaultRunner):
                 cpix, vals = jax.vmap(one)(tid_chunk)
                 return cpix.reshape(-1), vals.reshape(-1)
 
-            def finish(acc, out_tiled, orig_tiled, tids):
-                out = jnp.concatenate([tiling.flat_view(out_tiled),
-                                       jnp.zeros(1, dtype=rdt)])
-
-                def body(o, tid_chunk):
-                    cpix, vals = pairs_for(acc, orig_tiled, tid_chunk)
-                    return o.at[cpix].add(vals), None
-
-                out, _ = jax.lax.scan(body, out, tids)
-                return out[:npix]
-
-            if self.mesh is None:
-                self._compiled[ckey] = jax.jit(finish)
-            else:
-                # mesh mode: shard the excluded-tile chunk axis (the
-                # serialized scatter is the cost) and psum the partial
-                # maps; acc/orig/out_tiled replicate
-                from jax.sharding import PartitionSpec as _PS
-
-                def local(acc, out_tiled, orig_tiled, tids_local):
-                    z = compat.pvary(jnp.zeros(npix + 1, dtype=rdt),
-                                     ("halos",))
-
+            def scatter_all(out, acc, orig_tiled, sf, tids):
+                cpix, vals = geo_pairs(acc, orig_tiled, sf)
+                out = out.at[cpix].add(vals)
+                if has_hot:
                     def body(o, tid_chunk):
                         cpix, vals = pairs_for(acc, orig_tiled,
                                                tid_chunk)
                         return o.at[cpix].add(vals), None
+                    out, _ = jax.lax.scan(body, out, tids)
+                return out
 
-                    z, _ = jax.lax.scan(body, z, tids_local)
+            if self.mesh is None:
+                def finish(acc, out_tiled, orig_tiled, sf, tids):
+                    out = jnp.concatenate(
+                        [tiling.flat_view(out_tiled),
+                         jnp.zeros(1, dtype=rdt)])
+                    return scatter_all(out, acc, orig_tiled, sf,
+                                       tids)[:npix]
+
+                self._compiled[ckey] = jax.jit(finish)
+            else:
+                # mesh: shard the compact-source axis and the hot-chunk
+                # axis; psum partial maps (acc/orig/out_tiled replicate)
+                from jax.sharding import PartitionSpec as _PS
+
+                def local(acc, out_tiled, orig_tiled, sf_l, tids_l):
+                    z = compat.pvary(jnp.zeros(npix + 1, dtype=rdt),
+                                     ("halos",))
+                    z = scatter_all(z, acc, orig_tiled, sf_l, tids_l)
                     return (jax.lax.psum(z[:npix], "halos")
                             + tiling.flat_view(out_tiled))
 
                 self._compiled[ckey] = jax.jit(jax.shard_map(
                     local, mesh=self.mesh,
-                    in_specs=(_PS(), _PS(), _PS(), _PS("halos")),
+                    in_specs=(_PS(), _PS(), _PS(), _PS("halos"),
+                              _PS("halos")),
                     out_specs=_PS()))
         finish = self._compiled[ckey]
-        return finish(acc, out_tiled, orig_tiled,
+        return finish(acc, out_tiled, orig_tiled, sf_c,
                       jnp.asarray(tids.reshape(nch, Tc)))
 
     def stencil_stage_times(self, NSIDE, npix, rdt):
@@ -793,17 +864,10 @@ class BaryonifyShell(DefaultRunner):
         ids = np.where(np.asarray(excl))[0].astype(np.int32)
         out["excl_fetch_s"] = round(time.time() - t0, 3)
         out["excl_frac"] = round(float(len(ids)) / excl.shape[0], 4)
-        Tc = 512
-        nch = 1
-        while nch * Tc < ids.size:
-            nch *= 2
-        tids = np.full(nch * Tc, -1, dtype=np.int32)
-        tids[:ids.size] = ids
-        finish = self._compiled[("stencil_compl", NSIDE, str(rdt), nch)]
-        tid_dev = jnp.asarray(tids.reshape(nch, Tc))
         for rep in range(2):
             t0 = time.time()
-            nd = finish(acc, out_tiled, orig_tiled, tid_dev)
+            nd = self._stencil_complement(NSIDE, npix, rdt, acc,
+                                          out_tiled, orig_tiled, excl)
             nd.block_until_ready()
             out["finish_s"] = round(time.time() - t0, 3)
         return out

@@ -588,6 +588,31 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
     return run
 
 
+def count_valid_slots(tiling, tids):
+    """Host-side exact count of valid pixel slots in the given tiles
+    (integer ring math only — mirrors ``SkyTiling.slot_pix``). Gives the
+    static size for device-side compaction of scatter-source lists."""
+    N = tiling.nside
+    RB = tiling.RB
+    i0 = tiling.tile_i0[tids].astype(np.int64)
+    s = tiling.tile_s[tids].astype(np.int64)
+    S = tiling.tile_S[tids].astype(np.int64)
+    i = i0[:, None] + np.arange(RB, dtype=np.int64)[None, :]
+    ring_ok = (i >= 1) & (i <= 4 * N - 1)
+    i_c = np.clip(i, 1, 4 * N - 1)
+    north = i_c < N
+    south = i_c > 3 * N
+    i_s = 4 * N - i_c
+    nr = np.where(north, 4 * i_c, np.where(south, 4 * i_s, 4 * N))
+    sh = np.where(north | south, 1, np.where((i_c - N) % 2 == 0, 1, 0))
+    j0 = (2 * s[:, None] * nr - sh * S[:, None]
+          + 2 * S[:, None] - 1) // (2 * S[:, None])
+    j1 = (2 * (s[:, None] + 1) * nr - sh * S[:, None]
+          + 2 * S[:, None] - 1) // (2 * S[:, None])
+    seg = np.minimum(j1 - j0, tiling.K)
+    return int(np.where(ring_ok, seg, 0).sum())
+
+
 def bucket_tiles(tile_ids, halo_ids, n_buckets=4, h_align=8):
     """Group (tile, halo) pairs into per-tile halo lists, bucketed by list
     length so each bucket runs one static-shape kernel.
