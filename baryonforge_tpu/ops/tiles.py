@@ -318,53 +318,69 @@ def bin_halos_to_tiles(tiling, theta, phi, radius, margin_pix=2.0):
     radius = np.asarray(radius, float)
     n = theta.size
 
+    # ring bracketing stays f64 (block membership must not flip); the
+    # per-block window/trig math below runs in f32 and the pair indices
+    # in int32 — at 1e6 halos / 25M pairs this host stage is memory-
+    # traffic bound and the halved widths measured ~2x (margin_pix
+    # absorbs the ~1e-7 rad f32 rounding)
     i_lo = np.clip(_ring_of_theta_np(N, theta - radius), 1, 4 * N - 1)
     i_hi = np.clip(_ring_of_theta_np(N, theta + radius) + 1, 1, 4 * N - 1)
-    b_lo = (i_lo - 1) // RB
-    b_hi = (i_hi - 1) // RB
+    b_lo = ((i_lo - 1) // RB).astype(np.int32)
+    b_hi = ((i_hi - 1) // RB).astype(np.int32)
     max_d = int((b_hi - b_lo).max()) + 1 if n else 0
 
+    theta32 = theta.astype(np.float32)
+    rad32 = radius.astype(np.float32)
+    phi32 = phi.astype(np.float32)
+    blk_lo32 = tiling.block_th_lo.astype(np.float32)
+    blk_hi32 = tiling.block_th_hi.astype(np.float32)
+    S_all = tiling.S.astype(np.int32)
+    tile_off32 = tiling.tile_off.astype(np.int32)
+
     tiles_all, halos_all = [], []
-    sin_r = np.sin(np.minimum(radius, 0.5 * np.pi))
+    sin_r = np.sin(np.minimum(rad32, np.float32(0.5 * np.pi)))
     for d in range(max_d):
         b = b_lo + d
         act = b <= b_hi
         if not act.any():
             continue
-        idx = np.where(act)[0]
+        idx = np.where(act)[0].astype(np.int32)
         bb = b[idx]
         # effective theta band of the disc inside this block
-        t_lo = np.maximum(theta[idx] - radius[idx], tiling.block_th_lo[bb])
-        t_hi = np.minimum(theta[idx] + radius[idx], tiling.block_th_hi[bb])
+        t_lo = np.maximum(theta32[idx] - rad32[idx], blk_lo32[bb])
+        t_hi = np.minimum(theta32[idx] + rad32[idx], blk_hi32[bb])
         # widest phi need: smallest sin(theta) on the band edge (the band
         # cannot cross a pole without touching theta=0/pi)
         sin_min = np.minimum(np.sin(t_lo), np.sin(t_hi))
         # band containing the equator: sin >= sin(t_lo), fine as is
-        touches_pole = (t_lo <= 1e-9) | (t_hi >= np.pi - 1e-9)
+        touches_pole = (t_lo <= 1e-9) | (t_hi >= np.float32(np.pi) - 1e-6)
         w = np.where(
-            (sin_min <= sin_r[idx]) | touches_pole, np.pi,
-            np.arcsin(np.clip(sin_r[idx] / np.maximum(sin_min, 1e-12),
+            (sin_min <= sin_r[idx]) | touches_pole, np.float32(np.pi),
+            np.arcsin(np.clip(sin_r[idx]
+                              / np.maximum(sin_min, np.float32(1e-12)),
                               0, 1)))
         # margin: a couple of pixel widths (sector boundaries vs centers)
-        S = tiling.S[bb]
-        dphi_sec = 2 * np.pi / S
-        w = np.minimum(w + margin_pix * np.pi / (2.0 * N)
-                       / np.maximum(sin_min, 1e-3), np.pi)
-        s_lo = np.floor((phi[idx] - w) / dphi_sec).astype(np.int64)
-        s_hi = np.floor((phi[idx] + w) / dphi_sec).astype(np.int64)
+        S = S_all[bb]
+        dphi_sec = np.float32(2 * np.pi) / S
+        w = np.minimum(w + np.float32(margin_pix * np.pi / (2.0 * N))
+                       / np.maximum(sin_min, np.float32(1e-3)),
+                       np.float32(np.pi))
+        s_lo = np.floor((phi32[idx] - w) / dphi_sec).astype(np.int32)
+        s_hi = np.floor((phi32[idx] + w) / dphi_sec).astype(np.int32)
         cnt = np.minimum(s_hi - s_lo + 1, S)
         # expand (halo, sector-range) -> pairs
         rep_h = np.repeat(idx, cnt)
         rep_b = np.repeat(bb, cnt)
         rep_s0 = np.repeat(s_lo, cnt)
         rep_S = np.repeat(S, cnt)
-        pos = np.arange(cnt.sum()) - np.repeat(
-            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        csum = np.cumsum(cnt, dtype=np.int64)
+        pos = (np.arange(csum[-1], dtype=np.int32)
+               - np.repeat((csum - cnt).astype(np.int32), cnt))
         s = np.mod(rep_s0 + pos, rep_S)
-        tiles_all.append(tiling.tile_off[rep_b] + s)
+        tiles_all.append(tile_off32[rep_b] + s)
         halos_all.append(rep_h)
     if not tiles_all:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
     return np.concatenate(tiles_all), np.concatenate(halos_all)
 
 
