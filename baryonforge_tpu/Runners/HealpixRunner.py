@@ -1458,9 +1458,27 @@ class PaintProfilesAnisShell(DefaultRunner):
             tc, ln_r0_t, dlnr_t = jax.jit(
                 lambda M, a: tracer.halo_curves(M, a, kind="projected"))(
                 hd["M"], hd["a"])
-            extras = extras + [np.asarray(pc), np.asarray(tc)]
             curve_meta = (float(ln_r0_p), float(dlnr_p),
                           float(ln_r0_t), float(dlnr_t))
+
+        if curve_meta is not None and self._tiles_available(curve_meta):
+            # tiled fast path: the halo sum
+            # sum_h afac_h * painting_h(r) * canvas_h(r) runs through the
+            # paint2 tile kernel (two log-curve lookups, one exp); the
+            # per-pixel orig/Mtot weight factors out of the halo sum
+            halo_sum = self._tiled_paint2(hd, pc, tc, curve_meta, NSIDE,
+                                          npix, pixarea)
+            fkey = ("anis_factor", NSIDE)
+            if fkey not in self._compiled:
+                self._compiled[fkey] = jax.jit(
+                    lambda hs, mt, og: jnp.where(
+                        mt > 0, hs.astype(jnp.float64) * og / mt, 0.0))
+            new_map = np.asarray(self._compiled[fkey](
+                halo_sum, Mtot_dev, orig_dev))
+        else:
+            new_map = None
+            if curve_meta is not None:
+                extras = extras + [np.asarray(pc), np.asarray(tc)]
 
         def make_body(K_ring, K_phi):
           def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
@@ -1510,13 +1528,69 @@ class PaintProfilesAnisShell(DefaultRunner):
                 val.reshape(-1).astype(jnp.float64)), None
           return body
 
-        new_map = np.asarray(
-            self._bucketed_accumulate(make_body, hd, extras, (npix + 1,),
-                                      jnp.float64, NSIDE)[:npix])
+        if new_map is None:
+            new_map = np.asarray(
+                self._bucketed_accumulate(make_body, hd, extras,
+                                          (npix + 1,), jnp.float64,
+                                          NSIDE)[:npix])
 
-        # background contribution
+        # background contribution (both paths)
         mfrac_bg = np.where(Mtot_map > 0, dV * drho_m / Mtot_map, 0.0)
         mfrac_bg *= orig_map
         new_map = new_map + (self.background_val
                              * self.global_tracer_fraction * mfrac_bg)
         return new_map
+
+    def _tiled_paint2(self, hd, pc, tc, curve_meta, NSIDE, npix, pixarea):
+        """Scatter-free anisotropic halo sum via the paint2 tile kernel:
+        sum_h afac_h * exp(log painting_h(r) + log canvas_h(r)) per
+        pixel. The caller applies the per-pixel orig/Mtot factor and the
+        background term."""
+        from ..ops import tiles as _tiles
+
+        ln_r0_p, dlnr_p, ln_r0_t, dlnr_t = curve_meta
+        tiling = self._get_tiling(NSIDE)
+        dt = self.dtype
+        small = np.zeros(hd["radius"].shape[0], dtype=bool)
+        buckets = self._get_tile_buckets(tiling, hd, small)
+
+        pkey = ("tilepack", "paint2", id(self.HaloLightConeCatalog),
+                bool(self.include_pixel_size))
+        if pkey not in self._compiled:
+            pack = self._tile_base_pack(hd)
+            # each log curve stores Sigma * a -> divide both a factors out
+            afac = 1.0 / hd["a"] ** 2
+            if self.include_pixel_size:
+                afac = afac * pixarea * hd["D"] ** 2
+            pack["afac"] = jnp.asarray(afac).astype(dt)
+            ckey = ("curveclamp2", pc.shape, tc.shape, str(dt))
+            if ckey not in self._compiled:
+                self._compiled[ckey] = jax.jit(
+                    lambda a, b: (jnp.maximum(a, -80.0).astype(dt),
+                                  jnp.maximum(b, -80.0).astype(dt)))
+            pack["curves"], pack["curves2"] = self._compiled[ckey](
+                jnp.asarray(pc), jnp.asarray(tc))
+            pack["ln_r0_2"] = jnp.asarray(ln_r0_t, dtype=dt)
+            pack["inv_dlnr_2"] = jnp.asarray(1.0 / dlnr_t, dtype=dt)
+            run = _tiles.make_tile_deposit(tiling, pc.shape[1],
+                                           mode="paint2", dtype=dt,
+                                           log_curves=True,
+                                           mesh=self.mesh,
+                                           n_r2=tc.shape[1])
+            for k in [k for k in self._compiled if k[0] == "tilepack"]:
+                del self._compiled[k]
+            self._compiled[pkey] = (pack, run)
+        pack, run = self._compiled[pkey]
+
+        P = tiling.RB * tiling.K
+        acc = jnp.zeros((tiling.n_tiles, P), dtype=dt)
+        run_into = getattr(run, "into", None)
+        for bucket in buckets:
+            if run_into is not None:
+                acc = run_into(acc, bucket, pack, float(ln_r0_p),
+                               1.0 / float(dlnr_p))
+                continue
+            tids, out = run(bucket, pack, float(ln_r0_p),
+                            1.0 / float(dlnr_p))
+            acc = acc.at[jnp.asarray(tids)].add(out)
+        return self._tile_flat_gather(tiling, npix, acc)

@@ -386,7 +386,8 @@ def bin_halos_to_tiles(tiling, theta, phi, radius, margin_pix=2.0):
 
 def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                       h_chunk=64, t_chunk=256, log_curves=False,
-                      lookup="auto", mesh=None, mesh_axis="halos"):
+                      lookup="auto", mesh=None, mesh_axis="halos",
+                      n_r2=None):
     """Build the dense per-tile pair kernel (the scatter-free phase A).
 
     Returns ``run(bucket, halo_pack, extra) -> (tile_ids, out)`` where
@@ -403,7 +404,12 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
 
     mode="displace": out (T, RB*K, 2) tangent (d theta, sin-theta d phi)
     sums. mode="paint": out (T, RB*K) plain curve-value sums (afac is then
-    the per-halo paint scale, e.g. 1/a or pixarea*D^2/a).
+    the per-halo paint scale, e.g. 1/a or pixarea*D^2/a). mode="paint2":
+    per-pair PRODUCT of two curve lookups (the anisotropic-paint weight
+    ``painting * canvas``, reference HealpixRunner.py:487-640); the pack
+    additionally carries ``curves2`` (n, n_r2) plus 0-d ``ln_r0_2`` /
+    ``inv_dlnr_2`` grid scalars, and with ``log_curves`` the two log
+    lookups share one exp.
 
     The (P, 3) x (3, H) cross terms run on the MXU at HIGHEST precision;
     everything else is fma-grade elementwise math. No scatter anywhere.
@@ -416,6 +422,10 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
     tile_S = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
     tile_center = jnp.asarray(tiling.tile_center)          # (n_tiles, 3)
     displace = mode == "displace"
+    paint2 = mode == "paint2"
+    if paint2:
+        assert log_curves and n_r2 is not None, \
+            "paint2 needs log curves (product = exp(sum)) and n_r2"
     if lookup == "auto":
         # the hat contraction is the TPU-native exact lerp (per-pair
         # gathers serialize, 27x slower — measured); on CPU the gather
@@ -463,29 +473,35 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                  + dh[:, 2:3] * dpT[2][None, :])
             chord2 = nh2[:, None] + np2[None, :] - 2.0 * G
             chord2 = jnp.maximum(chord2, 1e-30)
-            x = (0.5 * jnp.log(chord2)
-                 + pack["lnDa"][hcl][:, None] - ln_r0) * inv_dlnr
-            cv = pack["curves"][hcl]                        # (h, n_r)
-            if lookup == "hat":
-                # exact linear interp as a hat-basis contraction: the TPU
-                # has no per-lane gather, so sum_c max(0, 1-|x-c|)*cv[:,c]
-                # IS the native table lookup
-                val = jax.lax.fori_loop(
-                    0, n_r,
-                    lambda cc, acc: acc + jnp.maximum(
-                        0.0, 1.0 - jnp.abs(x - cc))
-                    * jax.lax.dynamic_slice_in_dim(cv, cc, 1, axis=1),
-                    jnp.zeros_like(x))
-            else:
-                i = jnp.clip(x.astype(jnp.int32), 0, n_r - 2)
-                t = x - i.astype(dtype)
+            lnr = 0.5 * jnp.log(chord2) + pack["lnDa"][hcl][:, None]
+            x = (lnr - ln_r0) * inv_dlnr
+
+            def contract(cv, xx, nr):
+                if lookup == "hat":
+                    # exact linear interp as a hat-basis contraction: the
+                    # TPU has no per-lane gather, so
+                    # sum_c max(0, 1-|x-c|)*cv[:,c] IS the native lookup
+                    return jax.lax.fori_loop(
+                        0, nr,
+                        lambda cc, acc: acc + jnp.maximum(
+                            0.0, 1.0 - jnp.abs(xx - cc))
+                        * jax.lax.dynamic_slice_in_dim(cv, cc, 1, axis=1),
+                        jnp.zeros_like(xx))
+                i = jnp.clip(xx.astype(jnp.int32), 0, nr - 2)
+                t = xx - i.astype(dtype)
                 v0 = jnp.take_along_axis(cv, i, axis=1)
                 v1 = jnp.take_along_axis(cv, i + 1, axis=1)
-                val = v0 * (1.0 - t) + v1 * t
-            if log_curves:           # paint curves store log values
-                val = jnp.exp(val)
+                return v0 * (1.0 - t) + v1 * t
+
+            val = contract(pack["curves"][hcl], x, n_r)
             use = ((x >= 0) & (x <= n_r - 1) & ok[:, None]
                    & (chord2 <= pack["crit2"][hcl][:, None]))
+            if paint2:
+                x2 = (lnr - pack["ln_r0_2"]) * pack["inv_dlnr_2"]
+                val = val + contract(pack["curves2"][hcl], x2, n_r2)
+                use = use & (x2 >= 0) & (x2 <= n_r2 - 1)
+            if log_curves:           # paint curves store log values
+                val = jnp.exp(val)
             d = jnp.where(use, val, 0.0) * pack["afac"][hcl][:, None]
             if displace:
                 amp = d * jax.lax.rsqrt(chord2) * pack["invD"][hcl][:, None]
