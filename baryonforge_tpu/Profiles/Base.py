@@ -183,9 +183,11 @@ class Profile:
             (self.cutoff if self.cutoff is not None else 1e4)
         # size the grid AFTER the cutoff extension (the reference sizes it
         # before, Base.py:219-225, leaving narrow-r calls badly
-        # under-resolved: e.g. 20 points spanning 4 decades)
+        # under-resolved: e.g. 20 points spanning 4 decades). Ceil the
+        # decade count: integer truncation made resolution jump at decade
+        # boundaries (a 3.99-decade span got 3 decades' points).
         span = max(int_max, r_max) / int_min
-        int_N = max(int(self.n_per_decade_proj * np.int32(np.log10(span))),
+        int_N = max(int(self.n_per_decade_proj * np.ceil(np.log10(span))),
                     4 * self.n_per_decade_proj)
         r_integral = np.geomspace(int_min, int_max, int_N)
         r_proj = np.geomspace(int_min, r_max, int_N)
@@ -230,11 +232,19 @@ class Profile:
 
     # -- fourier -----------------------------------------------------------
     def _fftlog_r_grid(self, k):
-        """Padded real-space grid reciprocal to the requested k range."""
+        """Padded real-space grid reciprocal to the requested k range.
+
+        The span covers BOTH padding knob pairs (``*_extra`` and
+        ``*_fftlog``): profiles that demand extreme fftlog padding against
+        ringing (e.g. Stars, reference Schneider19.py:459-466) widen the
+        sampled grid here, and composed profiles inherit the widest
+        operand's span via ``combine_fftpars``."""
         k_np = np.atleast_1d(np.asarray(k, dtype=float))
         p = self.precision_fftlog
-        r_lo = p["padding_lo_extra"] / float(k_np.max())
-        r_hi = p["padding_hi_extra"] / float(k_np.min())
+        pad_lo = min(p["padding_lo_extra"], p["padding_lo_fftlog"])
+        pad_hi = max(p["padding_hi_extra"], p["padding_hi_fftlog"])
+        r_lo = pad_lo / float(k_np.max())
+        r_hi = pad_hi / float(k_np.min())
         n = int(np.ceil(np.log10(r_hi / r_lo) * p["n_per_decade"]))
         n = int(2 ** np.ceil(np.log2(max(n, 64))))
         return jnp.asarray(np.geomspace(r_lo, r_hi, n))
@@ -329,6 +339,19 @@ class _CombinedProfile(Profile):
                     if k not in mp or mp[k] is None:
                         mp[k] = v
         super().__init__(**{**mp, **hp})
+
+        # merge the operands' FFTLog precision (reference
+        # utils/misc.py:68-126 with the _fft_precision_logic table at
+        # 261-336): without this, (Stars + Gas).fourier silently evaluated
+        # with default padding even though Stars demands 1e-5/1e5
+        from ..utils.misc import combine_fftpars
+        fp = None
+        for x in (A, B):
+            if isinstance(x, Profile):
+                fp = (dict(x.precision_fftlog) if fp is None
+                      else combine_fftpars(fp, x.precision_fftlog))
+        if fp is not None:
+            self.precision_fftlog = fp
 
     def _eval_operand(self, x, method, cosmo, r, M, a, **kw):
         if isinstance(x, Profile):

@@ -80,6 +80,30 @@ def test_composition_identity():
         np.testing.assert_allclose(B[sel], A[sel], rtol=1e-6)
 
 
+def test_combined_fft_precision():
+    # operator algebra must MERGE the operands' FFTLog precision
+    # (reference utils/misc.py:68-126 + _fft_precision_logic at 261-336):
+    # Stars demands padding 1e-5/1e5 against ringing, so adding an inert
+    # Zeros() must not knock fourier() back to default padding
+    from baryonforge_tpu.utils.misc import combine_fftpars
+
+    S = Profiles.Stars(**bpar_S19)
+    Z = Profiles.Zeros()
+    comb = S + Z
+    merged = combine_fftpars(S.precision_fftlog, Z.precision_fftlog)
+    assert comb.precision_fftlog == merged
+    assert comb.precision_fftlog["padding_lo_fftlog"] == \
+        S.precision_fftlog["padding_lo_fftlog"]
+
+    want = np.asarray(S.fourier(COSMO, K, M[-2], 0.5))
+    got = np.asarray(comb.fourier(COSMO, K, M[-2], 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    # update_precision_fftlog propagates into operands
+    comb.update_precision_fftlog(n_per_decade=128)
+    assert S.precision_fftlog["n_per_decade"] == 128
+
+
 def test_twohalo_limits():
     # 2-halo term approaches mean matter density at large r
     from baryonforge_tpu.cosmo import core
