@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..cosmo import massdef as _massdef
 from ..ops.integrate import cumulative_simpson_uniform
-from ..ops.interp import masked_pchip_interp, multilinear_interp
+from ..ops.interp import (masked_pchip_interp, multilinear_interp,
+                          collapse_curves as _collapse_curves)
 from ..utils.Tabulate import _set_parameter
 
 __all__ = ["BaryonificationClass", "Baryonification3D", "Baryonification2D"]
@@ -271,55 +272,28 @@ class BaryonificationClass:
             assert k in kwargs, f"need {k} as input (table built with it)"
         return self._readout(r, M, a, **kwargs)
 
+    # per-halo curves are RAW displacement values (not log); runners pick
+    # the matching lookup via this flag
+    curves_are_log = False
+
     def halo_curves(self, M, a, **kwargs):
         """Per-halo displacement curves d_h(ln r) on the table's radial grid.
 
         Hot-path optimization: (z, M[, extras]) are constant per halo, so
         runners interpolate those axes ONCE here and then do a direct
         log-uniform 1D lookup per pixel (the radial grid is geomspace).
+        Models built with ``other_params`` (p_keys) take the per-halo
+        property columns as kwargs — the extra axes are scalars per halo,
+        so the (z, M, p...) lookup still collapses to one curve per halo
+        (reference Tabulate.py:395-730 keeps p_keys first-class in the
+        same way).
 
-        Returns (curves (n_halos, n_r), ln_r0, dlnr). Out-of-table (z, M)
-        rows are zero (matching the readout's NaN->0 policy). With
+        Returns (curves (n_halos, n_r), ln_r0, dlnr). Out-of-table rows
+        are zero (matching the readout's NaN->0 policy). With
         ``Rdelta_sampling`` the radial coordinate is ln(r/R_Delta).
         """
-        dt = self._table.dtype
-        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=dt))
-        a_use = jnp.atleast_1d(jnp.asarray(a, dtype=dt))
-        n = M_use.size
-        n_r = self._axes[2].shape[0]
-
-        z_in = jnp.broadcast_to(jnp.log(1.0 / a_use), (n,))
-        m_in = jnp.log(M_use)
-
-        def axis_locate(ax, x):
-            i = jnp.clip(jnp.searchsorted(ax, x, side="right") - 1,
-                         0, ax.shape[0] - 2)
-            t = (x - ax[i]) / (ax[i + 1] - ax[i])
-            oob = (x < ax[0]) | (x > ax[-1])
-            return i, t, oob
-
-        iz, tz, oz = axis_locate(self._axes[0], z_in)
-        im, tm, om = axis_locate(self._axes[1], m_in)
-
-        tab = self._table
-        if self.p_keys:
-            raise NotImplementedError(
-                "halo_curves with extra parameter axes is not implemented; "
-                "runners fall back to displacement() for p_keys models")
-
-        c00 = tab[iz, im]
-        c01 = tab[iz, im + 1]
-        c10 = tab[iz + 1, im]
-        c11 = tab[iz + 1, im + 1]
-        curves = ((1 - tz)[:, None] * ((1 - tm)[:, None] * c00
-                                       + tm[:, None] * c01)
-                  + tz[:, None] * ((1 - tm)[:, None] * c10
-                                   + tm[:, None] * c11))
-        curves = jnp.where((oz | om)[:, None], 0.0, curves)
-        ln_r = self._axes[2]
-        ln_r0 = ln_r[0]
-        dlnr = ln_r[1] - ln_r[0]
-        return curves, ln_r0, dlnr
+        return _collapse_curves(self._table, self._axes, 2, M, a,
+                                self.p_keys, kwargs, fill=0.0)
 
     @staticmethod
     def curve_lookup(curve, ln_r0, dlnr, r):

@@ -17,6 +17,7 @@ __all__ = [
     "pchip_derivatives", "pchip_eval", "pchip_interp",
     "masked_pchip_interp", "cubic_spline_coeffs", "cubic_spline_eval",
     "cubic_spline_derivative_eval", "multilinear_interp", "interp1d_linear",
+    "collapse_curves",
 ]
 
 
@@ -246,3 +247,63 @@ def multilinear_interp(grid_axes, values, points, fill_value=jnp.nan):
 def interp1d_linear(x, y, xq, left=None, right=None):
     """jnp.interp wrapper with the same defaults as np.interp."""
     return jnp.interp(xq, x, y, left=left, right=right)
+
+
+def collapse_curves(table, axes, r_axis, M, a, p_keys, kwargs, fill=0.0):
+    """Collapse every non-radial axis of a (z, M, r, p...) lookup table at
+    per-halo scalars, returning one radial curve per halo.
+
+    This is the runner fast-path enabler: (z, M, p...) are constant per
+    halo, so interpolating those axes ONCE reduces the per-pixel readout
+    to a 1D log-uniform lerp. Extra parameter axes (p_keys — the
+    reference's per-halo-property mechanism, Tabulate.py:395-730) are
+    per-halo scalars too, so they collapse the same way: 2^(2+P) corner
+    gathers of radial rows, multilinearly weighted (bit-matching
+    :func:`multilinear_interp` on the same table).
+
+    table  : (N_z, N_M, N_r, N_p1, ...) with the radial axis at ``r_axis``
+    axes   : per-axis grids, interp coordinates (log z+1, log M, ...)
+    M, a   : per-halo mass / scale factor (scalars or (n,))
+    p_keys : names of the trailing parameter axes
+    kwargs : per-halo values for each p_key (scalar or (n,))
+    fill   : value for rows with any out-of-table coordinate
+             (0.0 for raw tables, -inf for log tables)
+
+    Returns (curves (n, N_r), ln_r0, dlnr).
+    """
+    dt = table.dtype
+    M_use = jnp.atleast_1d(jnp.asarray(M, dtype=dt))
+    a_use = jnp.atleast_1d(jnp.asarray(a, dtype=dt))
+    n = M_use.size
+    vals = [jnp.broadcast_to(jnp.log(1.0 / a_use), (n,)),
+            jnp.log(M_use)]
+    for k in p_keys:
+        assert k in kwargs, f"need {k} as input (table built with it)"
+        vals.append(jnp.broadcast_to(
+            jnp.asarray(kwargs[k], dtype=dt), (n,)))
+
+    def locate(ax, x):
+        i = jnp.clip(jnp.searchsorted(ax, x, side="right") - 1,
+                     0, ax.shape[0] - 2)
+        t = (x - ax[i]) / (ax[i + 1] - ax[i])
+        oob = (x < ax[0]) | (x > ax[-1])
+        return i, t, oob
+
+    axis_ids = [0, 1] + list(range(r_axis + 1, table.ndim))
+    locs = [locate(axes[ai], v) for ai, v in zip(axis_ids, vals)]
+    tab_t = jnp.transpose(table, tuple(axis_ids) + (r_axis,))
+    oob = locs[0][2]
+    for loc in locs[1:]:
+        oob = oob | loc[2]
+    curves = jnp.zeros((n, table.shape[r_axis]), dtype=dt)
+    for corner in range(2 ** len(locs)):
+        w = jnp.ones((n,), dtype=dt)
+        idx = []
+        for d, (i, t, _) in enumerate(locs):
+            bit = (corner >> d) & 1
+            idx.append(i + bit)
+            w = w * jnp.where(bit, t, 1.0 - t)
+        curves = curves + w[:, None] * tab_t[tuple(idx)]
+    curves = jnp.where(oob[:, None], fill, curves)
+    ln_r = axes[r_axis]
+    return curves, ln_r[0], ln_r[1] - ln_r[0]

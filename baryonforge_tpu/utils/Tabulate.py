@@ -155,7 +155,10 @@ class TabulatedProfile:
         self._tab2D = jnp.asarray(self.raw_input_2D)
         return self
 
-    def halo_curves(self, M, a, kind="projected"):
+    # curves are LOG values (tables store log; runners exp via curve_lookup)
+    curves_are_log = True
+
+    def halo_curves(self, M, a, kind="projected", **kwargs):
         """Per-halo log-profile curves on the radial grid: interpolate the
         constant (z, M) axes once per halo; per-pixel readout becomes a
         log-uniform 1D lookup (runner hot-path optimization).
@@ -164,30 +167,11 @@ class TabulatedProfile:
         curves are log(Sigma * a) — the runner divides the a factor out.
         Out-of-table (z, M) rows are -inf (reads exp to 0).
         """
+        from ..ops.interp import collapse_curves
+        assert not kwargs, "TabulatedProfile has no extra parameter axes"
         tab = self._tab2D if kind == "projected" else self._tab3D
-        dt = tab.dtype
-        M_use = jnp.atleast_1d(jnp.asarray(M, dtype=dt))
-        a_use = jnp.atleast_1d(jnp.asarray(a, dtype=dt))
-        n = M_use.size
-        z_in = jnp.broadcast_to(jnp.log(1.0 / a_use), (n,))
-        m_in = jnp.log(M_use)
-
-        def locate(ax, x):
-            i = jnp.clip(jnp.searchsorted(ax, x, side="right") - 1,
-                         0, ax.shape[0] - 2)
-            t = (x - ax[i]) / (ax[i + 1] - ax[i])
-            oob = (x < ax[0]) | (x > ax[-1])
-            return i, t, oob
-
-        iz, tz, oz = locate(self._axes[0], z_in)
-        im, tm, om = locate(self._axes[1], m_in)
-        c = ((1 - tz)[:, None] * ((1 - tm)[:, None] * tab[iz, im]
-                                  + tm[:, None] * tab[iz, im + 1])
-             + tz[:, None] * ((1 - tm)[:, None] * tab[iz + 1, im]
-                              + tm[:, None] * tab[iz + 1, im + 1]))
-        c = jnp.where((oz | om)[:, None], -jnp.inf, c)
-        ln_r = self._axes[2]
-        return c, ln_r[0], ln_r[1] - ln_r[0]
+        return collapse_curves(tab, self._axes, 2, M, a, [], {},
+                               fill=-jnp.inf)
 
     @staticmethod
     def curve_lookup(curve, ln_r0, dlnr, r):
@@ -295,6 +279,40 @@ class ParamTabulatedProfile:
 
     def projected(self, cosmo, r, M, a, **kwargs):
         return self._readout(self._tab2D, r, M, a, **kwargs) / a
+
+    # curves are RAW values (tables store raw — extra-axis quantities can
+    # be signed, reference Tabulate.py:395-730 keeps them linear too)
+    curves_are_log = False
+
+    def halo_curves(self, M, a, kind="projected", **kwargs):
+        """Per-halo RAW profile curves with the extra parameter axes
+        (p_keys) collapsed at per-halo values — the p_keys fast path:
+        per-pixel work becomes one log-uniform 1D lerp regardless of how
+        many per-halo property axes the table carries.
+
+        Returns (curves (n, n_r), ln_r0, dlnr); ``projected`` curves are
+        Sigma * a (the runner divides the a factor out, matching
+        :meth:`projected`). Out-of-table rows are zero.
+        """
+        from ..ops.interp import collapse_curves
+        tab = self._tab2D if kind == "projected" else self._tab3D
+        return collapse_curves(tab, self._axes, 2, M, a, self.p_keys,
+                               kwargs, fill=0.0)
+
+    @staticmethod
+    def curve_lookup(curve, ln_r0, dlnr, r):
+        """RAW-value 1D log-uniform lookup (zero outside the range)."""
+        from ..Profiles.BaryonCorrection import BaryonificationClass
+        return BaryonificationClass.curve_lookup(curve, ln_r0, dlnr, r)
+
+    def with_dtype(self, dtype):
+        """Shallow copy with tables cast to ``dtype`` (f32 hot path)."""
+        import copy
+        new = copy.copy(self)
+        new._axes = tuple(ax.astype(dtype) for ax in self._axes)
+        new._tab3D = self._tab3D.astype(dtype)
+        new._tab2D = self._tab2D.astype(dtype)
+        return new
 
 
 class TabulatedCorrelation3D:
