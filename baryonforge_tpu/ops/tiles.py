@@ -22,9 +22,12 @@ Geometry notes (all closed-form, nothing tabulated):
     reassembly is a gather with computed indices, no stored permutation.
 
 Pair math avoids catastrophic f32 cancellation by working in LOCAL tile
-coordinates: chord^2(p, h) = |dp - dh|^2 with dp = v_p - c_tile,
-dh = v_h - c_tile (|d| <~ 0.1), expanded as |dp|^2 + |dh|^2 - 2 dp.dh with
-the cross term on the MXU (precision HIGHEST).
+coordinates AND subtracting before squaring:
+chord^2(p, h) = sum_i (dp_i - dh_i)^2 with dp = v_p - c_tile,
+dh = v_h - c_tile (|d| <~ 0.1). The expanded |dp|^2 + |dh|^2 - 2 dp.dh
+form cancels at sub-pixel separations (percent-level chord error at a
+halo-center pixel); the difference form keeps relative error near
+f32 eps * tile_size / chord.
 """
 
 from functools import partial
@@ -411,8 +414,9 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
     ``inv_dlnr_2`` grid scalars, and with ``log_curves`` the two log
     lookups share one exp.
 
-    The (P, 3) x (3, H) cross terms run on the MXU at HIGHEST precision;
-    everything else is fma-grade elementwise math. No scatter anywhere.
+    The per-pair chord is subtract-then-square fma math (cancellation-free
+    at sub-pixel separations); everything else is fma-grade elementwise
+    math too. No scatter anywhere.
     """
     nside = tiling.nside
     RB, K = tiling.RB, tiling.K
@@ -424,8 +428,10 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
     displace = mode == "displace"
     paint2 = mode == "paint2"
     if paint2:
-        assert log_curves and n_r2 is not None, \
-            "paint2 needs log curves (product = exp(sum)) and n_r2"
+        assert n_r2 is not None, "paint2 needs n_r2"
+        # log_curves=True: product = exp(sum) (one exp per pair);
+        # log_curves=False: plain product of two RAW lookups (p_keys /
+        # ParamTabulatedProfile tables store raw, possibly signed values)
     if lookup == "auto":
         # the hat contraction is the TPU-native exact lerp (per-pair
         # gathers serialize, 27x slower — measured); on CPU the gather
@@ -445,7 +451,6 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                         jnp.broadcast_to(ct, phi.shape)], axis=-1)
         # transposed (3, P) layout: P rides the lane dimension everywhere
         dpT = (vp - c).reshape(P, 3).astype(dtype).T        # local coords
-        np2 = jnp.sum(dpT * dpT, axis=0)                    # (P,)
         if displace:
             e_thT = jnp.stack([ct * cphi, ct * sphi,
                                jnp.broadcast_to(-st, phi.shape)],
@@ -465,13 +470,17 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             hcl = jnp.maximum(hi, 0)
             vh = pack["vh"][hcl].astype(dtype)              # (h, 3)
             dh = vh - c.astype(dtype)[None, :]
-            nh2 = jnp.sum(dh * dh, axis=-1)
             # all (h, P): TPU VPU wants the big axis minor; per-pair
-            # gathers are 27x slower than this select+fma form (measured)
-            G = (dh[:, 0:1] * dpT[0][None, :]
-                 + dh[:, 1:2] * dpT[1][None, :]
-                 + dh[:, 2:3] * dpT[2][None, :])
-            chord2 = nh2[:, None] + np2[None, :] - 2.0 * G
+            # gathers are 27x slower than this select+fma form (measured).
+            # chord2 DIFFERENCES FIRST: the expanded nh2 + np2 - 2G form
+            # cancels catastrophically in f32 at sub-pixel separations
+            # (3% chord error at a halo-center pixel -> 3% paint error on
+            # a steep profile); subtract-then-square keeps the relative
+            # error at ~f32 eps * tile_size / chord.
+            d0 = dh[:, 0:1] - dpT[0][None, :]
+            d1 = dh[:, 1:2] - dpT[1][None, :]
+            d2 = dh[:, 2:3] - dpT[2][None, :]
+            chord2 = d0 * d0 + d1 * d1 + d2 * d2
             chord2 = jnp.maximum(chord2, 1e-30)
             lnr = 0.5 * jnp.log(chord2) + pack["lnDa"][hcl][:, None]
             x = (lnr - ln_r0) * inv_dlnr
@@ -498,7 +507,8 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                    & (chord2 <= pack["crit2"][hcl][:, None]))
             if paint2:
                 x2 = (lnr - pack["ln_r0_2"]) * pack["inv_dlnr_2"]
-                val = val + contract(pack["curves2"][hcl], x2, n_r2)
+                v2 = contract(pack["curves2"][hcl], x2, n_r2)
+                val = (val + v2) if log_curves else (val * v2)
                 use = use & (x2 >= 0) & (x2 <= n_r2 - 1)
             if log_curves:           # paint curves store log values
                 val = jnp.exp(val)
