@@ -24,11 +24,67 @@ No analog exists in the reference (maps live host-side throughout;
 reference Runners/HealpixRunner.py:235-373 never moves them).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SparseMapFetcher"]
+__all__ = ["SparseMapFetcher", "multistream_get"]
+
+# number of parallel download streams: the tunnelled dev link is
+# per-stream limited (measured 0.6-13 MB/s single-stream vs 20-40 MB/s
+# with 2-8 parallel streams; on directly-attached TPU the split is free)
+_N_STREAMS = max(1, int(os.environ.get("BFG_FETCH_STREAMS", "4")))
+_SPLIT_JITS = {}
+_STREAM_POOL = None
+
+
+def _stream_pool():
+    global _STREAM_POOL
+    if _STREAM_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _STREAM_POOL = ThreadPoolExecutor(max_workers=_N_STREAMS,
+                                          thread_name_prefix="bfg-xfer")
+    return _STREAM_POOL
+
+
+def _split_fn(n, dt, ns):
+    """(cached) jit splitting a flat (n,) array into ns contiguous chunks
+    (one dispatch, ns output buffers)."""
+    key = (n, str(dt), ns)
+    if key not in _SPLIT_JITS:
+        C = n // ns
+
+        def split(y):
+            y = y.reshape(-1)
+            outs = [jax.lax.dynamic_slice(y, (i * C,), (C,))
+                    for i in range(ns - 1)]
+            outs.append(jax.lax.dynamic_slice(y, ((ns - 1) * C,),
+                                              (n - (ns - 1) * C,)))
+            return tuple(outs)
+
+        _SPLIT_JITS[key] = jax.jit(split)
+    return _SPLIT_JITS[key]
+
+
+def multistream_get(x, out_dtype=None):
+    """``np.asarray(x)`` via parallel slice downloads.
+
+    The device array is split into ``BFG_FETCH_STREAMS`` contiguous
+    chunks in ONE dispatch and the chunks are fetched concurrently —
+    each chunk rides its own RPC stream, multiplying effective tunnel
+    bandwidth by ~3-30x (measured). Bit-exact: pure reshape/concat."""
+    n = int(np.prod(x.shape))
+    ns = min(_N_STREAMS, max(1, n // (1 << 20)))   # >=4 MB per stream
+    if ns <= 1:
+        out = np.asarray(x).reshape(-1)
+    else:
+        chunks = _split_fn(n, x.dtype, ns)(x)
+        parts = list(_stream_pool().map(np.asarray, chunks))
+        out = np.concatenate(parts)
+    out = out.reshape(x.shape)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _bucket(n, step=256):
@@ -98,8 +154,12 @@ class SparseMapFetcher:
                                                           base_dev))
         ids = np.nonzero(changed)[0]
         n_changed = ids.size
+        self.last_stats = {"n_changed": int(n_changed),
+                           "frac": n_changed / self.nblk,
+                           "mbytes": n_changed * self.block
+                           * new_dev.dtype.itemsize / 1e6}
         if n_changed > self.dense_threshold * self.nblk:
-            return np.asarray(new_dev, dtype=out_dtype)
+            return multistream_get(new_dev, out_dtype)
 
         if base_host is None:
             out = np.zeros(self.npix, dtype=out_dtype)
@@ -109,7 +169,7 @@ class SparseMapFetcher:
             P = _bucket(n_changed)
             ids_pad = np.zeros(P, dtype=np.int32)
             ids_pad[:n_changed] = ids
-            vals = np.asarray(
+            vals = multistream_get(
                 self._gather_fn(dt, P)(new_dev, jnp.asarray(ids_pad)))
             out.reshape(self.nblk, self.block)[ids] = \
                 vals[:n_changed].astype(out_dtype)
