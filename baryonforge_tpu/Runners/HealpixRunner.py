@@ -144,11 +144,58 @@ class DefaultRunner:
         """Record the compute/transfer wall-time split and download the
         result map (sparsely when possible)."""
         out_dev.block_until_ready()
-        self.timings = {"compute_s": time.time() - t_start}
+        timings = {"compute_s": time.time() - t_start}
         t0 = time.time()
         out = self._fetch_map(out_dev, base_dev, base_host)
-        self.timings["transfer_s"] = time.time() - t0
+        timings["transfer_s"] = time.time() - t0
+        self.timings = timings
         return out
+
+    def _fetch_executor(self):
+        """Single-worker thread pool for overlapped result downloads."""
+        ex = self._compiled.get("fetch_executor")
+        if ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="bfg-fetch")
+            self._compiled["fetch_executor"] = ex
+        return ex
+
+    def _submit_fetch(self, out_dev, t_start, base_dev=None,
+                      base_host=None, conserve_sum=None):
+        """Fetch ``out_dev`` on a background thread; return a Future.
+
+        This is what makes repeated ``process_async()`` calls PIPELINE:
+        the device->host download of call k (seconds over a tunnelled
+        dev link) runs on the fetch thread while the main thread
+        dispatches call k+1's compute — JAX releases the GIL during
+        transfers, so steady-state wall time is max(compute, transfer)
+        per call instead of their sum. The future resolves to the host
+        map; its per-call wall-time split is attached as ``fut.timings``
+        once resolved (also mirrored to ``runner.timings``)."""
+        timings = {}
+
+        def run():
+            out = self._finish_map(out_dev, t_start, base_dev, base_host)
+            timings.update(self.timings)
+            if conserve_sum is not None:
+                new_sum = float(out.sum())
+                assert np.isclose(new_sum, conserve_sum), (
+                    "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
+                    "sum(oldmap) [%0.14e]" % (new_sum, conserve_sum))
+            return out
+
+        fut = self._fetch_executor().submit(run)
+        fut.timings = timings            # filled before the future resolves
+        return fut
+
+    @staticmethod
+    def _done_future(value):
+        from concurrent.futures import Future
+        fut = Future()
+        fut.set_result(value)
+        fut.timings = {}
+        return fut
 
     def _host_map(self, orig_map, rdt, host_sum):
         """The cached host-side cast matching ``_device_map``'s upload
@@ -163,21 +210,21 @@ class DefaultRunner:
         ``base_dev``/``base_host`` are the device and host copies of the
         map the result should be diffed against (the uploaded original
         for baryonify; zeros — pass None — for paint)."""
+        from ..ops.transfer import SparseMapFetcher, multistream_get
         npix = new_dev.shape[0]
         if base_dev is not None and base_host is None:
-            return np.asarray(new_dev, dtype=np.float64)
+            return multistream_get(new_dev, np.float64)
         # block sized so the bitmap stays ~1e3-1e4 entries; any HEALPix
         # npix = 12*nside^2 with nside >= 8 divides by 768
         block = next((b for b in (4096, 768)
                       if npix % b == 0 and npix >= 64 * b), None)
         if self.transfer in ("auto", "sparse") and block:
-            from ..ops.transfer import SparseMapFetcher
             fkey = ("sparsefetch", npix, block)
             if fkey not in self._compiled:
                 self._compiled[fkey] = SparseMapFetcher(npix, block=block)
             return self._compiled[fkey].fetch(new_dev, base_dev,
                                               base_host)
-        return np.asarray(new_dev, dtype=np.float64)
+        return multistream_get(new_dev, np.float64)
 
 
     # ------------------------------------------------------------------
@@ -353,21 +400,51 @@ class DefaultRunner:
         return self._compiled[tkey]
 
     def _get_tile_buckets(self, tiling, hd, small):
-        """(cached) halo->tile binning for the non-``small`` halos."""
+        """(cached) halo->tile binning for the non-``small`` halos.
+
+        When ``BFG_CACHE_DIR`` is set the binned buckets also persist to
+        an npz keyed by a digest of (nside, positions, radii), so repeat
+        processes (bench rounds, parameter sweeps over a fixed catalog)
+        skip the multi-minute host binning of ~25M pairs at 1e6 halos
+        (warmup amortization, VERDICT r3 order #6)."""
         from ..ops import tiles as _tiles
         radius = hd["radius"]
         bkey = ("tilebin", id(self.HaloLightConeCatalog), tiling.nside,
                 radius.shape[0], float(radius.sum()))
-        if bkey not in self._compiled:
-            idx_big = np.where(~small)[0]
+        if bkey in self._compiled:
+            return self._compiled[bkey]
+
+        import os
+        idx_big = np.where(~small)[0]
+        cache_dir = os.environ.get("BFG_CACHE_DIR")
+        path, buckets = None, None
+        if cache_dir:
+            import hashlib
+            dg = hashlib.blake2b(digest_size=16)
+            dg.update(np.int64(tiling.nside).tobytes())
+            for arr in (hd["theta"][idx_big], hd["phi"][idx_big],
+                        radius[idx_big]):
+                dg.update(np.ascontiguousarray(arr).tobytes())
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir,
+                                f"tilebin_{dg.hexdigest()}.npz")
+            if os.path.exists(path):
+                f = np.load(path)
+                buckets = [(f[f"t{i}"], f[f"h{i}"])
+                           for i in range(int(f["n_buckets"]))]
+        if buckets is None:
             t_ids, h_ids = _tiles.bin_halos_to_tiles(
                 tiling, hd["theta"][idx_big], hd["phi"][idx_big],
                 radius[idx_big])
             buckets = _tiles.bucket_tiles(
                 t_ids, idx_big[h_ids].astype(np.int64))
-            for k in [k for k in self._compiled if k[0] == "tilebin"]:
-                del self._compiled[k]
-            self._compiled[bkey] = buckets
+            if path is not None:
+                np.savez(path, n_buckets=len(buckets),
+                         **{f"t{i}": b[0] for i, b in enumerate(buckets)},
+                         **{f"h{i}": b[1] for i, b in enumerate(buckets)})
+        for k in [k for k in self._compiled if k[0] == "tilebin"]:
+            del self._compiled[k]
+        self._compiled[bkey] = buckets
         return self._compiled[bkey]
 
     def _tile_base_pack(self, hd, extra_lnscale=None):
@@ -410,10 +487,17 @@ class BaryonifyShell(DefaultRunner):
 
     def _use_curves(self):
         """True when the model supports the fast per-halo-curve readout
-        (precompute the (z, M) interpolation once per halo; per-pixel work
-        becomes a direct log-uniform 1D lerp)."""
-        return (hasattr(self.model, "halo_curves")
-                and not getattr(self.model, "p_keys", []))
+        (precompute the (z, M[, p_keys]) interpolation once per halo;
+        per-pixel work becomes a direct log-uniform 1D lerp). p_keys
+        models qualify too: the per-halo property columns collapse into
+        the curves (ops/interp.collapse_curves)."""
+        return hasattr(self.model, "halo_curves")
+
+    def _p_key_kwargs(self):
+        """Per-halo property columns for the model's p_keys (f64 host)."""
+        cat = self.HaloLightConeCatalog.cat
+        return {k: np.asarray(cat[k], dtype=float)
+                for k in self._model_p_keys()}
 
     def _halo_curve_arrays(self, hd):
         """Per-halo curve data: (curves, Rcom, rscale) arrays and
@@ -429,7 +513,8 @@ class BaryonifyShell(DefaultRunner):
             model = model.with_dtype(self.dtype)
         # jit: eager axon dispatch is ~55 s/op at 1e5 halos
         curves, ln_r0, dlnr = jax.jit(
-            lambda M, a: model.halo_curves(M, a))(hd["M"], hd["a"])
+            lambda M, a, pkw: model.halo_curves(M, a, **pkw))(
+            hd["M"], hd["a"], self._p_key_kwargs())
         Rcom = hd["R"] / hd["a"]
         rscale = (1.0 / Rcom if getattr(model, "Rdelta_sampling", False)
                   else np.ones_like(Rcom))
@@ -1096,6 +1181,12 @@ class BaryonifyShell(DefaultRunner):
         return self._compiled[key]
 
     def process(self):
+        return self.process_async().result()
+
+    def process_async(self):
+        """Dispatch the full baryonification and return a Future resolving
+        to the host map. Repeated calls pipeline: call k's result download
+        overlaps call k+1's device compute (see _submit_fetch)."""
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
         t_start = time.time()
@@ -1104,7 +1195,7 @@ class BaryonifyShell(DefaultRunner):
         NSIDE = self.LightconeShell.NSIDE
         npix = orig_map.size
         if np.allclose(orig_map, 0):
-            return orig_map
+            return self._done_future(orig_map)
 
         keys = self._model_p_keys()
         hkey = ("hostprep", id(self.HaloLightConeCatalog),
@@ -1139,14 +1230,10 @@ class BaryonifyShell(DefaultRunner):
                 self._tiled_phase_a(hd, extras, curve_meta, NSIDE, npix,
                                     return_acc=True),
                 orig_dev, host_sum=old_sum)
-            new_map = self._finish_map(new_dev, t_start, orig_dev,
-                                       self._host_map(orig_map, rdt,
-                                                      old_sum))
-            new_sum = float(new_map.sum())
-            assert np.isclose(new_sum, old_sum), (
-                "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
-                "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
-            return new_map
+            return self._submit_fetch(new_dev, t_start, orig_dev,
+                                      self._host_map(orig_map, rdt,
+                                                     old_sum),
+                                      conserve_sum=old_sum)
 
         if use_tiles:
             pix_offsets = self._tiled_phase_a(hd, extras, curve_meta,
@@ -1167,16 +1254,11 @@ class BaryonifyShell(DefaultRunner):
         # the scatter regrid touches every pixel with bilinear epsilons,
         # so the sparse diff usually degrades to a dense fetch here — the
         # fetcher's threshold fallback handles that
-        new_map = self._finish_map(
+        return self._submit_fetch(
             self._regrid(NSIDE, npix, rdt, ang_base, pix_offsets,
                          orig_dev),
-            t_start, orig_dev, self._host_map(orig_map, rdt, old_sum))
-
-        new_sum = float(new_map.sum())
-        assert np.isclose(new_sum, old_sum), (
-            "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
-            "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
-        return new_map
+            t_start, orig_dev, self._host_map(orig_map, rdt, old_sum),
+            conserve_sum=old_sum)
 
     def build_step(self):
         """Return (fn, example_args): the full baryonification step as one
@@ -1224,6 +1306,11 @@ class PaintProfilesShell(DefaultRunner):
     jnp-traceable (TabulatedProfile / ParamTabulatedProfile qualify)."""
 
     def process(self):
+        return self.process_async().result()
+
+    def process_async(self):
+        """Dispatch the paint and return a Future resolving to the host
+        map (repeated calls pipeline; see _submit_fetch)."""
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
         t_start = time.time()
@@ -1244,16 +1331,20 @@ class PaintProfilesShell(DefaultRunner):
             model = model.with_dtype(dt)
         include_pix = self.include_pixel_size
 
-        # fast path: per-halo log-profile curves (TabulatedProfile) — the
-        # constant (z, M) axes are interpolated once per halo host-side
+        # fast path: per-halo profile curves (Tabulated / ParamTabulated —
+        # p_keys collapse into the curves, ops/interp.collapse_curves);
+        # the constant (z, M[, p...]) axes are interpolated once per halo
         curve_meta = None
-        if hasattr(model, "halo_curves") and not keys:
+        clog = getattr(model, "curves_are_log", False)
+        if hasattr(model, "halo_curves"):
             # curves stay on device: (n_halos, n_r) is 256 MB at 1e6
             # halos in f32, and a host round trip over a tunnelled link
             # costs minutes (see _halo_curve_arrays)
+            pkw = {k: e for k, e in zip(keys, extras)}
             curves, ln_r0, dlnr = jax.jit(
-                lambda M, a: model.halo_curves(M, a, kind="projected"))(
-                hd["M"], hd["a"])
+                lambda M, a, pkw: model.halo_curves(M, a, kind="projected",
+                                                    **pkw))(
+                hd["M"], hd["a"], pkw)
             if curves.dtype != dt:
                 curves = curves.astype(dt)
             extras = extras + [curves]
@@ -1261,7 +1352,7 @@ class PaintProfilesShell(DefaultRunner):
 
         if self._tiles_available(curve_meta):
             return self._tiled_paint(hd, extras, curve_meta, NSIDE, npix,
-                                     pixarea, t_start)
+                                     pixarea, t_start, log_curves=clog)
 
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
@@ -1275,11 +1366,16 @@ class PaintProfilesShell(DefaultRunner):
 
                 if curve_meta is not None:
                     from ..utils.Tabulate import TabulatedProfile as _TP
+                    from ..Profiles.BaryonCorrection import \
+                        BaryonificationClass as _BC
                     curve_h = o_h[-1]
                     ln_r0, dlnr = curve_meta
-                    # curves store log(Sigma * a): divide the a factor out
-                    paint = _TP.curve_lookup(curve_h.astype(dt), ln_r0,
-                                             dlnr, r_com) / a_h.astype(dt)
+                    # log curves store log(Sigma * a) (exp inside the
+                    # lookup); raw curves store Sigma * a directly —
+                    # either way divide the a factor out
+                    lookup = _TP.curve_lookup if clog else _BC.curve_lookup
+                    paint = lookup(curve_h.astype(dt), ln_r0,
+                                   dlnr, r_com) / a_h.astype(dt)
                 else:
                     kw = {k: o for k, o in zip(keys, o_h)}
                     paint = model.projected(cosmo, r_com, M_h, a_h, **kw)
@@ -1307,15 +1403,16 @@ class PaintProfilesShell(DefaultRunner):
                                         acc_dtype, NSIDE)
         # painted maps are zero outside halo discs: diff-vs-zero sparse
         # download (base None)
-        return self._finish_map(acc[:npix], t_start)
+        return self._submit_fetch(acc[:npix], t_start)
 
     def _tiled_paint(self, hd, extras, curve_meta, NSIDE, npix, pixarea,
-                     t_start=None):
+                     t_start=None, log_curves=True):
         """Scatter-free painting: dense per-tile pair sums (ops/tiles.py).
 
         Unlike the baryonify phase A there is no small-disc fallback in the
         reference paint loop (HealpixRunner.py:376-483), so every halo goes
-        through the tiled kernel.
+        through the tiled kernel. ``log_curves`` marks the curve storage
+        convention (log for TabulatedProfile, raw for ParamTabulated).
         """
         from ..ops import tiles as _tiles
 
@@ -1326,24 +1423,27 @@ class PaintProfilesShell(DefaultRunner):
         buckets = self._get_tile_buckets(tiling, hd, small)
 
         pkey = ("tilepack", "paint", id(self.HaloLightConeCatalog),
-                bool(self.include_pixel_size))
+                bool(self.include_pixel_size), log_curves)
         if pkey not in self._compiled:
             pack = self._tile_base_pack(hd)
             afac = 1.0 / hd["a"]            # curves store Sigma * a
             if self.include_pixel_size:
                 afac = afac * pixarea * hd["D"] ** 2
             pack["afac"] = jnp.asarray(afac).astype(self.dtype)
-            # clamp -inf log rows: exp(-80) reads as 0 without NaN risk
-            # (jitted: curves live on device, jnp.maximum eager would
-            # dispatch a per-call RPC and np.maximum would download them)
-            ckey = ("curveclamp", curves.shape, str(self.dtype))
+            # log curves: clamp -inf rows so exp(-80) reads as 0 without
+            # NaN risk; raw curves: zero non-finite entries. (jitted:
+            # curves live on device, jnp.maximum eager would dispatch a
+            # per-call RPC and np.maximum would download them)
+            ckey = ("curveclamp", curves.shape, str(self.dtype), log_curves)
             if ckey not in self._compiled:
+                fix = ((lambda c: jnp.maximum(c, -80.0)) if log_curves
+                       else (lambda c: jnp.where(jnp.isfinite(c), c, 0.0)))
                 self._compiled[ckey] = jax.jit(
-                    lambda c: jnp.maximum(c, -80.0).astype(self.dtype))
+                    lambda c: fix(c).astype(self.dtype))
             pack["curves"] = self._compiled[ckey](jnp.asarray(curves))
             run = _tiles.make_tile_deposit(tiling, curves.shape[1],
                                            mode="paint", dtype=self.dtype,
-                                           log_curves=True,
+                                           log_curves=log_curves,
                                            mesh=self.mesh)
             for k in [k for k in self._compiled if k[0] == "tilepack"]:
                 del self._compiled[k]
@@ -1364,7 +1464,7 @@ class PaintProfilesShell(DefaultRunner):
         flat = self._tile_flat_gather(tiling, npix, acc)
         if t_start is None:
             t_start = time.time()
-        return self._finish_map(flat, t_start)
+        return self._submit_fetch(flat, t_start)
 
 
 class PaintProfilesAnisShell(DefaultRunner):
@@ -1445,29 +1545,35 @@ class PaintProfilesAnisShell(DefaultRunner):
         Mtot_dev = jnp.asarray(Mtot_map)
         orig_dev = jnp.asarray(orig_map)
 
-        # fast path: per-halo log-profile curves for BOTH model and
-        # tracer (TabulatedProfile-compatible) — per-pixel work becomes
-        # two 1D lerps instead of two (z, M, r) table interpolations
+        # fast path: per-halo profile curves for BOTH model and tracer
+        # (Tabulated / ParamTabulated — p_keys collapse into the curves) —
+        # per-pixel work becomes two 1D lerps instead of two N-D table
+        # interpolations. The model's p_keys columns flow to both models,
+        # matching the reference (HealpixRunner.py:487-640 passes **o_j
+        # to Paint and Tracer alike).
         curve_meta = None
-        if (hasattr(model, "halo_curves") and hasattr(tracer,
-                                                      "halo_curves")
-                and not keys):
+        clog_p = getattr(model, "curves_are_log", False)
+        clog_t = getattr(tracer, "curves_are_log", False)
+        if hasattr(model, "halo_curves") and hasattr(tracer, "halo_curves"):
+            pkw = {k: e for k, e in zip(keys, extras)}
             pc, ln_r0_p, dlnr_p = jax.jit(
-                lambda M, a: model.halo_curves(M, a, kind="projected"))(
-                hd["M"], hd["a"])
+                lambda M, a, pkw: model.halo_curves(
+                    M, a, kind="projected", **pkw))(hd["M"], hd["a"], pkw)
             tc, ln_r0_t, dlnr_t = jax.jit(
-                lambda M, a: tracer.halo_curves(M, a, kind="projected"))(
-                hd["M"], hd["a"])
+                lambda M, a, pkw: tracer.halo_curves(
+                    M, a, kind="projected", **pkw))(hd["M"], hd["a"], pkw)
             curve_meta = (float(ln_r0_p), float(dlnr_p),
                           float(ln_r0_t), float(dlnr_t))
 
         if curve_meta is not None and self._tiles_available(curve_meta):
             # tiled fast path: the halo sum
             # sum_h afac_h * painting_h(r) * canvas_h(r) runs through the
-            # paint2 tile kernel (two log-curve lookups, one exp); the
-            # per-pixel orig/Mtot weight factors out of the halo sum
+            # paint2 tile kernel (two curve lookups; log pairs share one
+            # exp, raw pairs multiply); the per-pixel orig/Mtot weight
+            # factors out of the halo sum
             halo_sum = self._tiled_paint2(hd, pc, tc, curve_meta, NSIDE,
-                                          npix, pixarea)
+                                          npix, pixarea,
+                                          log_pair=(clog_p, clog_t))
             fkey = ("anis_factor", NSIDE)
             if fkey not in self._compiled:
                 self._compiled[fkey] = jax.jit(
@@ -1493,14 +1599,19 @@ class PaintProfilesAnisShell(DefaultRunner):
 
             if curve_meta is not None:
                 from ..utils.Tabulate import TabulatedProfile as _TP
+                from ..Profiles.BaryonCorrection import \
+                    BaryonificationClass as _BC
                 ln_r0_p, dlnr_p, ln_r0_t, dlnr_t = curve_meta
                 r_com = r_sep / a_h.astype(dt)
-                # curves store log(Sigma * a): divide the a factor out
-                painting = _TP.curve_lookup(o_h[-2].astype(dt), ln_r0_p,
-                                            dlnr_p, r_com) \
+                # curves store Sigma * a (log or raw per model): divide
+                # the a factor out; lookup matches the storage convention
+                lk_p = _TP.curve_lookup if clog_p else _BC.curve_lookup
+                lk_t = _TP.curve_lookup if clog_t else _BC.curve_lookup
+                painting = lk_p(o_h[-2].astype(dt), ln_r0_p,
+                                dlnr_p, r_com) \
                     / a_h.astype(dt)
-                canvas = _TP.curve_lookup(o_h[-1].astype(dt), ln_r0_t,
-                                          dlnr_t, r_com) / a_h.astype(dt)
+                canvas = lk_t(o_h[-1].astype(dt), ln_r0_t,
+                              dlnr_t, r_com) / a_h.astype(dt)
             else:
                 kw = {k: o for k, o in zip(keys, o_h)}
                 painting = model.projected(cosmo, r_sep / a_h, M_h, a_h,
@@ -1541,11 +1652,13 @@ class PaintProfilesAnisShell(DefaultRunner):
                              * self.global_tracer_fraction * mfrac_bg)
         return new_map
 
-    def _tiled_paint2(self, hd, pc, tc, curve_meta, NSIDE, npix, pixarea):
+    def _tiled_paint2(self, hd, pc, tc, curve_meta, NSIDE, npix, pixarea,
+                      log_pair=(True, True)):
         """Scatter-free anisotropic halo sum via the paint2 tile kernel:
-        sum_h afac_h * exp(log painting_h(r) + log canvas_h(r)) per
-        pixel. The caller applies the per-pixel orig/Mtot factor and the
-        background term."""
+        sum_h afac_h * painting_h(r) * canvas_h(r) per pixel (log pairs
+        share one exp; raw/mixed pairs multiply, any log operand exp'd
+        up-front). The caller applies the per-pixel orig/Mtot factor and
+        the background term."""
         from ..ops import tiles as _tiles
 
         ln_r0_p, dlnr_p, ln_r0_t, dlnr_t = curve_meta
@@ -1553,28 +1666,35 @@ class PaintProfilesAnisShell(DefaultRunner):
         dt = self.dtype
         small = np.zeros(hd["radius"].shape[0], dtype=bool)
         buckets = self._get_tile_buckets(tiling, hd, small)
+        both_log = log_pair[0] and log_pair[1]
 
         pkey = ("tilepack", "paint2", id(self.HaloLightConeCatalog),
-                bool(self.include_pixel_size))
+                bool(self.include_pixel_size), log_pair)
         if pkey not in self._compiled:
             pack = self._tile_base_pack(hd)
-            # each log curve stores Sigma * a -> divide both a factors out
+            # each curve stores Sigma * a -> divide both a factors out
             afac = 1.0 / hd["a"] ** 2
             if self.include_pixel_size:
                 afac = afac * pixarea * hd["D"] ** 2
             pack["afac"] = jnp.asarray(afac).astype(dt)
-            ckey = ("curveclamp2", pc.shape, tc.shape, str(dt))
+            ckey = ("curveclamp2", pc.shape, tc.shape, str(dt), log_pair)
             if ckey not in self._compiled:
+                def fix(c, is_log):
+                    if both_log:         # kernel exps the sum
+                        return jnp.maximum(c, -80.0)
+                    # raw product mode: exp any log operand up front
+                    c = jnp.exp(jnp.maximum(c, -80.0)) if is_log else c
+                    return jnp.where(jnp.isfinite(c), c, 0.0)
                 self._compiled[ckey] = jax.jit(
-                    lambda a, b: (jnp.maximum(a, -80.0).astype(dt),
-                                  jnp.maximum(b, -80.0).astype(dt)))
+                    lambda a, b: (fix(a, log_pair[0]).astype(dt),
+                                  fix(b, log_pair[1]).astype(dt)))
             pack["curves"], pack["curves2"] = self._compiled[ckey](
                 jnp.asarray(pc), jnp.asarray(tc))
             pack["ln_r0_2"] = jnp.asarray(ln_r0_t, dtype=dt)
             pack["inv_dlnr_2"] = jnp.asarray(1.0 / dlnr_t, dtype=dt)
             run = _tiles.make_tile_deposit(tiling, pc.shape[1],
                                            mode="paint2", dtype=dt,
-                                           log_curves=True,
+                                           log_curves=both_log,
                                            mesh=self.mesh,
                                            n_r2=tc.shape[1])
             for k in [k for k in self._compiled if k[0] == "tilepack"]:

@@ -261,13 +261,16 @@ class BaryonifyGrid(DefaultRunnerGrid):
         # readout is a single log-uniform pair-gather lerp instead of the
         # full N-D table interpolation
         curve_meta = None
-        if hasattr(model, "halo_curves") and not keys:
+        if hasattr(model, "halo_curves"):
             try:
                 mcur = model
                 if dt == jnp.float32 and hasattr(model, "with_dtype"):
                     mcur = model.with_dtype(dt)
+                # p_keys columns collapse into the per-halo curves
+                # (ops/interp.collapse_curves)
+                pkw = {k: e for k, e in zip(keys, extras)}
                 curves, ln_r0, dlnr = mcur.halo_curves(
-                    M, np.full(M.shape, a))
+                    M, np.full(M.shape, a), **pkw)
                 Rcom = R / a
                 rscale = (1.0 / Rcom
                           if getattr(model, "Rdelta_sampling", False)
@@ -430,11 +433,14 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         # per-halo curve fast path (see BaryonifyShell._use_curves): one
         # pair-gather lerp per cell instead of the N-D table readout
         curve_meta = None
-        if hasattr(model, "halo_curves") and not keys:
+        clog = getattr(model, "curves_are_log", False)
+        if hasattr(model, "halo_curves"):
             try:
                 kind = "projected" if is2D else "real"
+                # p_keys columns collapse into the per-halo curves
+                pkw = {k: e for k, e in zip(keys, extras)}
                 curves, ln_r0, dlnr = model.halo_curves(
-                    M, np.full(M.shape, a), kind=kind)
+                    M, np.full(M.shape, a), kind=kind, **pkw)
                 extras = extras + [np.asarray(curves)]
                 curve_meta = (float(ln_r0), float(dlnr))
             except (NotImplementedError, AttributeError, KeyError):
@@ -460,9 +466,14 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     if curve_meta is not None:
                         from ..utils.Tabulate import \
                             TabulatedProfile as _TP
+                        from ..Profiles.BaryonCorrection import \
+                            BaryonificationClass as _BC
                         curve_h = o_rest[len(keys)]
-                        # projected curves store log(Sigma * a)
-                        paint = _TP.curve_lookup(
+                        # projected curves store Sigma * a (log or raw
+                        # per model's storage convention)
+                        lookup = (_TP.curve_lookup if clog
+                                  else _BC.curve_lookup)
+                        paint = lookup(
                             curve_h.astype(dt), curve_meta[0],
                             curve_meta[1], r_grid) / a
                     else:
@@ -482,8 +493,12 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     if curve_meta is not None:
                         from ..utils.Tabulate import \
                             TabulatedProfile as _TP
+                        from ..Profiles.BaryonCorrection import \
+                            BaryonificationClass as _BC
                         curve_h = o_rest[len(keys)]
-                        paint = _TP.curve_lookup(
+                        lookup = (_TP.curve_lookup if clog
+                                  else _BC.curve_lookup)
+                        paint = lookup(
                             curve_h.astype(dt), curve_meta[0],
                             curve_meta[1], r_grid)
                     else:
