@@ -1,10 +1,14 @@
 """Particle snapshot runner: BaryonifySnapshot (2D/3D, periodic box).
 
 Reference: Runners/SnapshotRunner.py. The per-halo KDTree query + Python
-offset loop becomes: host-side neighbour search (scipy cKDTree, the same
-C++ engine the reference uses) producing padded static neighbour lists
-bucketed by count, then a device-side batched displacement + scatter-add
-over particles. Minimum-image convention throughout.
+offset loop (reference SnapshotRunner.py:176-275) becomes: host-side
+neighbour search (the in-repo native C++ periodic cell list in 3D, scipy
+cKDTree in 2D) with counts-first bucketing — each bucket of halos is
+padded only to ITS max neighbour count, not the global max — then a
+device-side batched displacement + scatter-add over particles, optionally
+sharded over a device mesh's 'halos' axis with a psum reduction (the
+TPU-native analog of SplitJoinParallel). Minimum-image convention
+throughout.
 """
 
 import numpy as np
@@ -13,6 +17,7 @@ import jax.numpy as jnp
 from scipy.spatial import cKDTree
 
 from ..cosmo import massdef as _massdef
+from ..ops import compat
 
 __all__ = ["DefaultRunnerSnapshot", "BaryonifySnapshot"]
 
@@ -23,7 +28,7 @@ class DefaultRunnerSnapshot:
     def __init__(self, HaloNDCatalog, ParticleSnapshot, epsilon_max, model,
                  mass_def=_massdef.MassDef200c, verbose=True,
                  halo_batch=256, dtype=jnp.float32, n_size_buckets=4,
-                 KDTree_kwargs=None):
+                 KDTree_kwargs=None, mesh=None):
         self.HaloNDCatalog = HaloNDCatalog
         self.ParticleSnapshot = ParticleSnapshot
         self.cosmo = HaloNDCatalog.cosmology
@@ -34,14 +39,27 @@ class DefaultRunnerSnapshot:
         self.halo_batch = halo_batch
         self.dtype = dtype
         self.n_size_buckets = n_size_buckets
+        # device mesh with a 'halos' axis: halo batches shard across
+        # devices, per-device partial offset accumulators psum-reduce
+        self.mesh = mesh
+        self._compiled = {}
 
         cols = ["x", "y"] if ParticleSnapshot.is2D else ["x", "y", "z"]
         self._coords = np.stack(
             [np.asarray(ParticleSnapshot.cat[c], dtype=float) for c in cols],
             axis=1)
-        L = ParticleSnapshot.L
-        self.tree = cKDTree(np.mod(self._coords, L), boxsize=L,
-                            **(KDTree_kwargs or {}))
+        self._kdtree_kwargs = KDTree_kwargs or {}
+        self._tree = None
+
+    @property
+    def tree(self):
+        """Lazy scipy cKDTree (2D path / API parity; the 3D path uses the
+        native cell list and never builds it)."""
+        if self._tree is None:
+            L = self.ParticleSnapshot.L
+            self._tree = cKDTree(np.mod(self._coords, L), boxsize=L,
+                                 **self._kdtree_kwargs)
+        return self._tree
 
     def _model_p_keys(self):
         return list(vars(self.model).get("p_keys", []))
@@ -75,15 +93,17 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         keys = self._model_p_keys()
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
 
-        # host-side neighbour lists, padded per count bucket. Prefer the
-        # in-repo native C++ cell list (3D); scipy's cKDTree otherwise.
+        # host-side neighbour COUNTS first (one cheap pass); the padded
+        # index lists are built per count-bucket below, each padded only
+        # to its own bucket max (a global-max pad would let one dense
+        # halo inflate the (nq, pad) array for everyone)
         if not is2D:
             from .. import native
-            padded, counts = native.cell_query(coords, L, hpos, R_q)
-            neigh = [padded[q][padded[q] >= 0] for q in range(len(R_q))]
+            counts = native.cell_query_counts(coords, L, hpos, R_q)
+            neigh2d = None
         else:
-            neigh = self.tree.query_ball_point(np.mod(hpos, L), R_q)
-            counts = np.array([len(x) for x in neigh])
+            neigh2d = self.tree.query_ball_point(np.mod(hpos, L), R_q)
+            counts = np.array([len(x) for x in neigh2d], dtype=np.int64)
 
         model = self.model
         dt = self.dtype
@@ -116,22 +136,32 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                     vec.reshape(-1, ndim)), None
             return body
 
-        # bucket halos by neighbour count
+        # bucket halos by neighbour count; each bucket re-queries the cell
+        # list with ITS OWN pad (counts are exact, so no truncation)
         order = np.argsort(counts)
         splits = np.array_split(order, max(1, min(self.n_size_buckets,
                                                   len(counts))))
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
         acc = jnp.zeros((n_part + 1, ndim), dtype=dt)
         for idx in splits:
             if idx.size == 0:
                 continue
             K = max(int(counts[idx].max()), 1)
             body = make_step(K)
-            inds_pad = np.full((idx.size, K), n_part, dtype=np.int64)
-            for row, j in enumerate(idx):
-                inds_pad[row, :counts[j]] = neigh[j]
-            # pad halo axis to batch multiples
+            if neigh2d is None:
+                from .. import native
+                inds_pad, _ = native.cell_query(coords, L, hpos[idx],
+                                                R_q[idx], pad=K)
+                inds_pad = np.where(inds_pad < 0, n_part, inds_pad)
+            else:
+                inds_pad = np.full((idx.size, K), n_part, dtype=np.int64)
+                for row, j in enumerate(idx):
+                    inds_pad[row, :counts[j]] = neigh2d[j]
+            # pad halo axis to batch multiples (and, sharded, to a batch
+            # count divisible by the mesh size)
             B = max(1, min(self.halo_batch, 8_000_000 // K))
             nb = -(-idx.size // B)
+            nb = -(-nb // ndev) * ndev
             pad = nb * B - idx.size
 
             def padb(x, fill=0.0):
@@ -149,10 +179,32 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                      jnp.asarray(padb(counts[idx].astype(np.int64))),
                      ) + tuple(jnp.asarray(padb(e[idx])) for e in extras)
 
-            def run(acc_in, batch):
-                acc_out, _ = jax.lax.scan(body, acc_in, batch)
-                return acc_out
-            acc = jax.jit(run)(acc, batch)
+            kkey = ("snapstep", K, nb, B, ndim, len(extras),
+                    self.mesh is None)
+            if kkey not in self._compiled:
+                if self.mesh is None:
+                    def run(acc_in, batch):
+                        acc_out, _ = jax.lax.scan(body, acc_in, batch)
+                        return acc_out
+                    self._compiled[kkey] = jax.jit(run, donate_argnums=0)
+                else:
+                    # shard the batch axis over the mesh's 'halos' axis;
+                    # each device scatters into a full-size local partial
+                    # accumulator, psum at the end (SplitJoinParallel
+                    # analog, reference utils/Parallelize.py:297-320)
+                    from jax.sharding import PartitionSpec as P
+
+                    def sharded(acc_in, batch):
+                        z = compat.pvary(
+                            jnp.zeros_like(acc_in), ("halos",))
+                        z, _ = jax.lax.scan(body, z, batch)
+                        return acc_in + jax.lax.psum(z, "halos")
+
+                    self._compiled[kkey] = jax.jit(jax.shard_map(
+                        sharded, mesh=self.mesh,
+                        in_specs=(P(), P("halos")), out_specs=P()),
+                        donate_argnums=0)
+            acc = self._compiled[kkey](acc, batch)
 
         tot_offsets = np.asarray(acc[:n_part], dtype=np.float64)
 
