@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from . import compat
 from . import healpix as hpx
 
-__all__ = ["SkyTiling", "bin_halos_to_tiles", "bucket_tiles"]
+__all__ = ["SkyTiling", "bin_halos_to_tiles", "bucket_tiles",
+           "refine_pairs"]
 
 
 class SkyTiling:
@@ -104,6 +105,49 @@ class SkyTiling:
         st, ct = np.sin(th_c), np.cos(th_c)
         self.tile_center = np.stack(
             [st * np.cos(ph_c), st * np.sin(ph_c), ct], axis=1)
+
+    @property
+    def tile_crad(self):
+        """Per-tile circumradius in CHORD units: an upper bound (f64
+        exact + 1e-5 margin) on |v_pixel - tile_center| over the tile's
+        valid slot pixel centers. Used by the pair pruning / windowed
+        curve sweep (host classification and the device kernel must use
+        the same bound). Computed lazily, cached on the instance."""
+        if getattr(self, "_crad", None) is not None:
+            return self._crad
+        N, RB, K = self.nside, self.RB, self.K
+        i = (self.tile_i0[:, None].astype(np.int64)
+             + np.arange(RB, dtype=np.int64)[None, :])    # (n_tiles, RB)
+        ok = (i >= 1) & (i <= 4 * N - 1)
+        i_c = np.clip(i, 1, 4 * N - 1)
+        north = i_c < N
+        south = i_c > 3 * N
+        nr = np.where(north, 4 * i_c,
+                      np.where(south, 4 * (4 * N - i_c), 4 * N))
+        sh = np.where(north | south, 1,
+                      np.where((i_c - N) % 2 == 0, 1, 0))
+        s = self.tile_s[:, None].astype(np.int64)
+        S = self.tile_S[:, None].astype(np.int64)
+        j0 = (2 * s * nr - sh * S + 2 * S - 1) // (2 * S)
+        j1 = (2 * (s + 1) * nr - sh * S + 2 * S - 1) // (2 * S)
+        seg = np.minimum(j1 - j0, K)
+        ok &= seg > 0
+        th_r = _ring_theta_np(N, i_c.astype(np.float64))
+        dphi = 2.0 * np.pi / nr
+        ph_c = 2.0 * np.pi * (self.tile_s + 0.5) / self.tile_S
+        # ring-segment extreme pixel centers; max chord to the center is
+        # attained at the larger |delta phi| endpoint on each ring
+        phf = (j0 + 0.5 * sh) * dphi - ph_c[:, None]
+        phl = (j0 + seg - 1 + 0.5 * sh) * dphi - ph_c[:, None]
+        wrap = lambda a: np.abs(np.mod(a + np.pi, 2 * np.pi) - np.pi)
+        dph = np.maximum(wrap(phf), wrap(phl))
+        th_c = np.arccos(np.clip(self.tile_center[:, 2], -1, 1))
+        cosd = (np.sin(th_r) * np.sin(th_c)[:, None] * np.cos(dph)
+                + np.cos(th_r) * np.cos(th_c)[:, None])
+        chord2 = np.where(ok, 2.0 - 2.0 * cosd, 0.0)
+        self._crad = (np.sqrt(chord2.max(axis=1)) + 1e-5).astype(
+            np.float64)
+        return self._crad
 
     # -- device-side closed-form geometry ------------------------------
     def slot_pixels(self, i0_t, s_t, S_t):
@@ -387,6 +431,52 @@ def bin_halos_to_tiles(tiling, theta, phi, radius, margin_pix=2.0):
     return np.concatenate(tiles_all), np.concatenate(halos_all)
 
 
+def refine_pairs(tiling, tile_ids, halo_ids, vh, chord_rad,
+                 inv_dlnr=None, n_c=16):
+    """Exact pair pruning + near/far sweep classification (host).
+
+    ``bin_halos_to_tiles`` over-covers: it bins by the disc's
+    theta-band x phi-window BOUNDING BOX, so corner tiles that the disc
+    never touches still form pairs (the kernel then zeroes every pixel
+    through the crit2 mask — pure waste, ~4/pi overhead for multi-tile
+    discs). With per-tile circumradii the prune is exact: if
+    ``dist(halo, tile_center) - crad(tile) > chord_rad(halo)`` no pixel
+    of the tile can pass the kernel's ``chord2 <= crit2`` mask, so
+    dropping the pair is value-identical.
+
+    The same distances classify pairs for the WINDOWED curve sweep: a
+    pair whose radial log-range across the tile spans at most ``n_c - 4``
+    curve cells can sweep an ``n_c``-wide window instead of all n_r
+    centers (the kernel recomputes the window start from the same
+    geometry; the -4 margin covers the floor/bracket and f32 rounding).
+
+    Parameters
+    ----------
+    vh : (n_halos, 3) float array of halo unit vectors
+    chord_rad : (n_halos,) max chord ``2 sin(radius/2)``
+    inv_dlnr : scalar or sequence of scalars (paint2 passes both grids)
+        or None to skip classification (everything "near").
+
+    Returns ``(far_pairs, near_pairs)``, each ``(tile_ids, halo_ids)``.
+    """
+    crad = tiling.tile_crad.astype(np.float32)[tile_ids]
+    d = (tiling.tile_center.astype(np.float32)[tile_ids]
+         - np.asarray(vh, np.float32)[halo_ids])
+    dcen = np.sqrt(np.einsum("ij,ij->i", d, d))
+    lo = dcen - crad
+    keep = lo <= np.asarray(chord_rad, np.float32)[halo_ids] + 1e-5
+    tile_ids, halo_ids = tile_ids[keep], halo_ids[keep]
+    if inv_dlnr is None:
+        return ((tile_ids[:0], halo_ids[:0]), (tile_ids, halo_ids))
+    lo, dcen, crad = lo[keep], dcen[keep], crad[keep]
+    inv = float(np.max(np.asarray(inv_dlnr, np.float64)))
+    width = (np.log(np.maximum(dcen + crad, 1e-30))
+             - np.log(np.maximum(lo, 1e-30))) * np.float32(inv)
+    far = (lo > 0) & (width <= n_c - 4)
+    return ((tile_ids[far], halo_ids[far]),
+            (tile_ids[~far], halo_ids[~far]))
+
+
 def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                       h_chunk=64, t_chunk=256, log_curves=False,
                       lookup="auto", mesh=None, mesh_axis="halos",
@@ -394,8 +484,13 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
     """Build the dense per-tile pair kernel (the scatter-free phase A).
 
     Returns ``run(bucket, halo_pack, extra) -> (tile_ids, out)`` where
-    ``bucket = (tile_ids (T,), halo_idx (T, H))`` from :func:`bucket_tiles`
-    and ``halo_pack`` is a dict of (n_halos, ...) device arrays:
+    ``bucket = (tile_ids (T,), halo_idx (T, H)[, n_c])`` from
+    :func:`bucket_tiles` (optionally tagged by :func:`refine_pairs`
+    classification: a third element ``n_c`` selects the WINDOWED sweep,
+    which evaluates only an ``n_c``-wide window of curve centers around
+    the pair's radial range instead of all ``n_r`` — a ~(n_r/n_c)x cut
+    of the dominant VPU cost for far pairs) and ``halo_pack`` is a dict
+    of (n_halos, ...) device arrays:
 
       vh      (n, 3)  halo unit vectors (f64 host-computed, cast to dtype)
       crit2   (n,)    squared max chord: (2 sin(radius/2))^2
@@ -438,7 +533,21 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
         # wins by a similar margin
         lookup = "hat" if jax.default_backend() == "tpu" else "gather"
 
-    def one_tile(tid, hidx, pack, ln_r0, inv_dlnr):
+    # per-tile circumradius for the windowed sweep (lazy: only built
+    # when a windowed bucket is dispatched)
+    _crad_d = [None]
+
+    def _crad_dev():
+        # populated OUTSIDE any trace by _ensure_crad (array creation
+        # inside a jit trace would cache a tracer -> leak across jits)
+        return _crad_d[0]
+
+    def _ensure_crad(n_c):
+        if n_c is not None and _crad_d[0] is None:
+            _crad_d[0] = jnp.asarray(
+                np.asarray(tiling.tile_crad, dtype=np.dtype(dtype)))
+
+    def one_tile(tid, hidx, pack, ln_r0, inv_dlnr, n_c=None):
         # ---- slot geometry (f64 ints/trig once per slot, cast to dtype)
         pix, phi, valid, theta_r = tiling.slot_pixels(
             tile_i0[tid], tile_s[tid], tile_S[tid])
@@ -485,7 +594,77 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             lnr = 0.5 * jnp.log(chord2) + pack["lnDa"][hcl][:, None]
             x = (lnr - ln_r0) * inv_dlnr
 
+            if n_c is not None:
+                # WINDOWED sweep (far pairs): the pair's radial range
+                # across this tile spans <= n_c - 4 curve cells (host
+                # classification, refine_pairs), so only an n_c-wide
+                # window of centers can carry weight. The window start
+                # is recomputed here from the same chord geometry the
+                # host used (dist to tile center minus circumradius;
+                # the -1/floor and the host's -4 slack absorb f32
+                # rounding). ln_chmin is cheap (h,)-shaped math.
+                dcen = jnp.sqrt(dh[:, 0] * dh[:, 0] + dh[:, 1] * dh[:, 1]
+                                + dh[:, 2] * dh[:, 2])
+                chmin = jnp.maximum(dcen - _crad_dev()[tid], 1e-20)
+                ln_chmin = jnp.log(chmin) + pack["lnDa"][hcl]
+
+                def window(cv, g_ln_r0, g_inv, nr):
+                    """(clo, cvw): window start + curve slice, via a
+                    one-hot accumulate over the nr storage slots (3 VPU
+                    instrs per (h, n_c, center) on small (h, n_c)
+                    shapes — no per-lane gather)."""
+                    clo = jnp.clip(
+                        jnp.floor((ln_chmin - g_ln_r0) * g_inv - 1.0)
+                        .astype(jnp.int32), 0, nr - n_c)
+                    tgt = clo[:, None] + jnp.arange(n_c, dtype=jnp.int32)
+                    z0 = jnp.zeros(tgt.shape, dtype=cv.dtype)
+                    if mesh is not None:   # carry mixes sharded inputs
+                        z0 = compat.pvary(z0, (mesh_axis,))
+                    cvw = jax.lax.fori_loop(
+                        0, nr,
+                        lambda k, acc: acc + jnp.where(
+                            tgt == k,
+                            jax.lax.dynamic_slice_in_dim(cv, k, 1,
+                                                         axis=1), 0.0),
+                        z0)
+                    return clo, cvw
+
             def contract(cv, xx, nr):
+                if lookup == "mxu":
+                    # hard one-hot of the bracket index + two batched
+                    # matmuls: only ~2 VPU instrs per (pair, center) to
+                    # build the one-hot; the contraction rides the MXU.
+                    # Costs a (h, P, nr) one-hot intermediate per tile —
+                    # use small t_chunk/h_chunk to bound HBM traffic.
+                    i = jnp.clip(xx.astype(jnp.int32), 0, nr - 2)
+                    t = xx - i.astype(dtype)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, nr), 2)
+                    O = (i[:, :, None] == iota).astype(dtype)
+                    d = jnp.pad(cv[:, 1:] - cv[:, :-1], ((0, 0), (0, 1)))
+                    v0 = jnp.einsum("hpn,hn->hp", O, cv,
+                                    preferred_element_type=dtype)
+                    v1 = jnp.einsum("hpn,hn->hp", O, d,
+                                    preferred_element_type=dtype)
+                    return v0 + t * v1
+                if lookup == "dclamp":
+                    # exact linear interp as a first-difference clamp
+                    # expansion: val(x) = cv[0] + sum_k d_k clamp(x-k,0,1)
+                    # with d_k = cv[k+1]-cv[k]. Same piecewise-linear
+                    # function as the hat form but fewer VPU instrs per
+                    # (pair, center) (sub/clamp/fma vs
+                    # sub/abs/rsub/max/mul/add) — and numerically stable:
+                    # partial sums telescope through the actual curve
+                    # values (no magnitude amplification). x outside
+                    # [0, nr-1] clamps to the endpoint values; the use
+                    # mask zeroes those pairs anyway.
+                    d = cv[:, 1:] - cv[:, :-1]         # (h, nr-1)
+                    return jax.lax.fori_loop(
+                        0, nr - 1,
+                        lambda cc, acc: acc
+                        + jnp.clip(xx - cc, 0.0, 1.0)
+                        * jax.lax.dynamic_slice_in_dim(d, cc, 1, axis=1),
+                        jnp.broadcast_to(cv[:, 0:1], xx.shape))
                 if lookup == "hat":
                     # exact linear interp as a hat-basis contraction: the
                     # TPU has no per-lane gather, so
@@ -502,12 +681,24 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                 v1 = jnp.take_along_axis(cv, i + 1, axis=1)
                 return v0 * (1.0 - t) + v1 * t
 
-            val = contract(pack["curves"][hcl], x, n_r)
+            if n_c is None:
+                val = contract(pack["curves"][hcl], x, n_r)
+            else:
+                clo, cvw = window(pack["curves"][hcl], ln_r0, inv_dlnr,
+                                  n_r)
+                val = contract(cvw, x - clo[:, None].astype(dtype), n_c)
             use = ((x >= 0) & (x <= n_r - 1) & ok[:, None]
                    & (chord2 <= pack["crit2"][hcl][:, None]))
             if paint2:
                 x2 = (lnr - pack["ln_r0_2"]) * pack["inv_dlnr_2"]
-                v2 = contract(pack["curves2"][hcl], x2, n_r2)
+                if n_c is None:
+                    v2 = contract(pack["curves2"][hcl], x2, n_r2)
+                else:
+                    clo2, cvw2 = window(pack["curves2"][hcl],
+                                        pack["ln_r0_2"],
+                                        pack["inv_dlnr_2"], n_r2)
+                    v2 = contract(cvw2,
+                                  x2 - clo2[:, None].astype(dtype), n_c)
                 val = (val + v2) if log_curves else (val * v2)
                 use = use & (x2 >= 0) & (x2 <= n_r2 - 1)
             if log_curves:           # paint curves store log values
@@ -544,37 +735,53 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
         out = jnp.where(vmask, out, 0.0)
         return jnp.where(jnp.isfinite(out), out, 0.0)
 
-    def run_all(tid, hid, pack, ln_r0, inv_dlnr):
-        # one dispatch: sequential lax.map over tile chunks (bounds the
-        # (P, h) intermediates), vmap over tiles inside each chunk
-        def chunk(args):
-            t, h = args
-            return jax.vmap(lambda ti, hi: one_tile(ti, hi, pack, ln_r0,
-                                                    inv_dlnr))(t, h)
-        out = jax.lax.map(chunk, (tid, hid))
-        return out.reshape((-1,) + out.shape[2:])
+    def make_run_all(n_c):
+        def run_all(tid, hid, pack, ln_r0, inv_dlnr):
+            # one dispatch: sequential lax.map over tile chunks (bounds
+            # the (P, h) intermediates), vmap over tiles in each chunk
+            def chunk(args):
+                t, h = args
+                return jax.vmap(lambda ti, hi: one_tile(
+                    ti, hi, pack, ln_r0, inv_dlnr, n_c=n_c))(t, h)
+            out = jax.lax.map(chunk, (tid, hid))
+            return out.reshape((-1,) + out.shape[2:])
+        return run_all
+
+    # jit caches keyed by the static window width n_c (None = full
+    # sweep); windowed buckets (refine_pairs "far" pairs) compile their
+    # own kernel variant
+    _jit_cache, _jit_into_cache = {}, {}
 
     if mesh is None:
-        jitted = jax.jit(run_all)
+        ndev = 1
+
+        def _get_jitted(n_c):
+            if n_c not in _jit_cache:
+                _jit_cache[n_c] = jax.jit(make_run_all(n_c))
+            return _jit_cache[n_c]
+
         # fused variant: deposit + accumulator add in ONE dispatch, with
         # the add INSIDE the chunk scan so the full (T_pad, P, 2) bucket
         # output (2.2 GB when one bucket spans most NSIDE=4096 tiles)
-        # never materializes — peak extra memory is one (Tp, P, 2) chunk.
-        # Padded rows (hid all -1) emit exact zeros, so adding them to
-        # tile 0 (the tid pad value) is a value-level no-op; donating the
-        # accumulator keeps it single-copy. Each dispatch is a blocking
-        # RPC on the tunnelled backend, so one call per bucket instead of
-        # three is also a direct latency win.
-        def run_all_into(acc, tid, hid, pack, ln_r0, inv_dlnr):
-            def body(a, args):
-                t, h = args
-                out = jax.vmap(lambda ti, hi: one_tile(
-                    ti, hi, pack, ln_r0, inv_dlnr))(t, h)
-                return a.at[t].add(out.astype(a.dtype)), None
-            acc, _ = jax.lax.scan(body, acc, (tid, hid))
-            return acc
-        jitted_into = jax.jit(run_all_into, donate_argnums=0)
-        ndev = 1
+        # never materializes — peak extra memory is one (Tp, P, 2)
+        # chunk. Padded rows (hid all -1) emit exact zeros, so adding
+        # them to tile 0 (the tid pad value) is a value-level no-op;
+        # donating the accumulator keeps it single-copy. Each dispatch
+        # is a blocking RPC on the tunnelled backend, so one call per
+        # bucket instead of three is also a direct latency win.
+        def _get_jitted_into(n_c):
+            if n_c not in _jit_into_cache:
+                def run_all_into(acc, tid, hid, pack, ln_r0, inv_dlnr):
+                    def body(a, args):
+                        t, h = args
+                        out = jax.vmap(lambda ti, hi: one_tile(
+                            ti, hi, pack, ln_r0, inv_dlnr, n_c=n_c))(t, h)
+                        return a.at[t].add(out.astype(a.dtype)), None
+                    acc, _ = jax.lax.scan(body, acc, (tid, hid))
+                    return acc
+                _jit_into_cache[n_c] = jax.jit(run_all_into,
+                                               donate_argnums=0)
+            return _jit_into_cache[n_c]
     else:
         # tiles are disjoint: shard the chunk axis across devices with
         # NO collective (each device owns its chunks' output rows; the
@@ -582,15 +789,19 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
         from jax.sharding import PartitionSpec as _PS
 
         ndev = mesh.devices.size
-        jitted = jax.jit(jax.shard_map(
-            run_all, mesh=mesh,
-            in_specs=(_PS(mesh_axis), _PS(mesh_axis), _PS(), _PS(),
-                      _PS()),
-            out_specs=_PS(mesh_axis)))
+
+        def _get_jitted(n_c):
+            if n_c not in _jit_cache:
+                _jit_cache[n_c] = jax.jit(jax.shard_map(
+                    make_run_all(n_c), mesh=mesh,
+                    in_specs=(_PS(mesh_axis), _PS(mesh_axis), _PS(),
+                              _PS(), _PS()),
+                    out_specs=_PS(mesh_axis)))
+            return _jit_cache[n_c]
     _dev_cache = {}
 
     def _bucket_on_device(bucket):
-        tids_np, hidx_np = bucket
+        tids_np, hidx_np = bucket[0], bucket[1]
         key = id(hidx_np)
         if key not in _dev_cache:
             if len(_dev_cache) >= 64:   # bound device-memory growth
@@ -615,16 +826,29 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                                hidx_np)
         return _dev_cache[key]
 
+    def _bucket_nc(bucket):
+        # bucket = (tids, hidx[, n_c]); n_c is the static window width
+        # (None = full n_r sweep)
+        n_c = bucket[2] if len(bucket) > 2 else None
+        if n_c is not None and n_c >= n_r:
+            n_c = None
+        return n_c
+
     def run(bucket, pack, ln_r0, inv_dlnr):
-        tids_np, _ = bucket
+        tids_np = bucket[0]
         tid_d, hid_d, _ = _bucket_on_device(bucket)
-        out = jitted(tid_d, hid_d, pack, ln_r0, inv_dlnr)
+        n_c = _bucket_nc(bucket)
+        _ensure_crad(n_c)
+        out = _get_jitted(n_c)(tid_d, hid_d, pack, ln_r0, inv_dlnr)
         return tids_np, out[:tids_np.shape[0]]
 
     if mesh is None:
         def run_into(acc, bucket, pack, ln_r0, inv_dlnr):
             tid_d, hid_d, _ = _bucket_on_device(bucket)
-            return jitted_into(acc, tid_d, hid_d, pack, ln_r0, inv_dlnr)
+            n_c = _bucket_nc(bucket)
+            _ensure_crad(n_c)
+            return _get_jitted_into(n_c)(
+                acc, tid_d, hid_d, pack, ln_r0, inv_dlnr)
         run.into = run_into
 
     return run
