@@ -400,29 +400,34 @@ class DefaultRunner:
         return self._compiled[tkey]
 
     def _get_tile_buckets(self, tiling, hd, small, inv_dlnr=None,
-                          n_c=16):
+                          lnDa=None, n_c=24):
         """(cached) halo->tile binning for the non-``small`` halos.
 
         The bounding-box pairs from ``bin_halos_to_tiles`` are refined
         by ``ops.tiles.refine_pairs``: tiles provably outside a disc are
-        dropped (exact, ~15-25% of pairs), and with ``inv_dlnr`` given
-        the survivors split into "far" pairs — whose radial range across
-        the tile fits an ``n_c``-wide curve window, swept with the
-        windowed kernel — and "near" pairs (full n_r sweep). Far buckets
-        carry ``n_c`` as a third element.
+        dropped (exact, ~15-25% of pairs), and with ``inv_dlnr`` +
+        ``lnDa`` given the survivors split into "far" pairs — grouped by
+        (tile, radial bin) so each kernel row shares one n_c-wide curve
+        window (the windowed sweep) — and "near" pairs (full n_r
+        sweep). Far buckets carry the static window width(s) as a third
+        element (a tuple when two grids are given, paint2).
 
         When ``BFG_CACHE_DIR`` is set the refined buckets also persist
         to an npz keyed by a digest of (nside, positions, radii,
-        inv_dlnr), so repeat processes (bench rounds, parameter sweeps
-        over a fixed catalog) skip the multi-minute host binning of
-        ~25M pairs at 1e6 halos (warmup amortization, VERDICT r3 order
-        #6)."""
+        inv_dlnr, lnDa), so repeat processes (bench rounds, parameter
+        sweeps over a fixed catalog) skip the multi-minute host binning
+        of ~25M pairs at 1e6 halos (warmup amortization, VERDICT r3
+        order #6)."""
         from ..ops import tiles as _tiles
         radius = hd["radius"]
-        inv_key = (None if inv_dlnr is None
-                   else tuple(np.round(np.atleast_1d(inv_dlnr), 9)))
+        invs = (None if inv_dlnr is None
+                else tuple(np.atleast_1d(np.asarray(inv_dlnr,
+                                                    np.float64))))
+        inv_key = None if invs is None else tuple(np.round(invs, 9))
+        lnDa_key = None if lnDa is None else round(float(np.sum(lnDa)), 6)
         bkey = ("tilebin", id(self.HaloLightConeCatalog), tiling.nside,
-                radius.shape[0], float(radius.sum()), inv_key, n_c)
+                radius.shape[0], float(radius.sum()), inv_key, lnDa_key,
+                n_c)
         if bkey in self._compiled:
             return self._compiled[bkey]
 
@@ -434,21 +439,23 @@ class DefaultRunner:
             import hashlib
             dg = hashlib.blake2b(digest_size=16)
             dg.update(np.int64(tiling.nside).tobytes())
-            dg.update(repr((inv_key, n_c)).encode())
+            dg.update(repr((inv_key, lnDa_key, n_c)).encode())
             for arr in (hd["theta"][idx_big], hd["phi"][idx_big],
                         radius[idx_big]):
                 dg.update(np.ascontiguousarray(arr).tobytes())
             os.makedirs(cache_dir, exist_ok=True)
             path = os.path.join(cache_dir,
-                                f"tilebin2_{dg.hexdigest()}.npz")
+                                f"tilebin3_{dg.hexdigest()}.npz")
             if os.path.exists(path):
                 f = np.load(path)
                 buckets = []
                 for i in range(int(f["n_buckets"])):
-                    c = int(f[f"c{i}"])
-                    buckets.append((f[f"t{i}"], f[f"h{i}"])
-                                   if c <= 0 else
-                                   (f[f"t{i}"], f[f"h{i}"], c))
+                    c = tuple(int(v) for v in np.atleast_1d(f[f"c{i}"]))
+                    if max(c) <= 0:
+                        buckets.append((f[f"t{i}"], f[f"h{i}"]))
+                    else:
+                        buckets.append((f[f"t{i}"], f[f"h{i}"],
+                                        c[0] if len(c) == 1 else c))
         if buckets is None:
             theta_b = hd["theta"][idx_big]
             phi_b = hd["phi"][idx_big]
@@ -459,18 +466,30 @@ class DefaultRunner:
             vh = np.stack([st * np.cos(phi_b), st * np.sin(phi_b),
                            np.cos(theta_b)], axis=1)
             chord_rad = 2.0 * np.sin(np.minimum(rad_b, np.pi) / 2.0)
+            lnDa_b = None if lnDa is None else np.asarray(
+                lnDa, np.float64)[idx_big]
             far, near = _tiles.refine_pairs(
                 tiling, t_ids, h_ids, vh, chord_rad,
-                inv_dlnr=inv_dlnr, n_c=n_c)
-            buckets = [(t, h, n_c) for (t, h) in _tiles.bucket_tiles(
-                far[0], idx_big[far[1]].astype(np.int64))]
+                inv_dlnr=invs, n_c=n_c, lnDa=lnDa_b)
+            buckets = []
+            if far[0].size:
+                # per-grid static window widths from the shared ln-r
+                # budget (matches refine_pairs' S + W split)
+                usable = (n_c - 4) / max(invs)
+                tags = tuple(int(np.ceil(usable * iv)) + 4
+                             for iv in invs)
+                tag = tags[0] if len(tags) == 1 else tags
+                buckets += _tiles.bucket_tiles_binned(
+                    (far[0], idx_big[far[1]].astype(np.int64), far[2]),
+                    tag)
             buckets += _tiles.bucket_tiles(
                 near[0], idx_big[near[1]].astype(np.int64))
             if path is not None:
                 np.savez(path, n_buckets=len(buckets),
                          **{f"t{i}": b[0] for i, b in enumerate(buckets)},
                          **{f"h{i}": b[1] for i, b in enumerate(buckets)},
-                         **{f"c{i}": (b[2] if len(b) > 2 else 0)
+                         **{f"c{i}": np.atleast_1d(
+                             np.asarray(b[2] if len(b) > 2 else 0))
                             for i, b in enumerate(buckets)})
         for k in [k for k in self._compiled if k[0] == "tilebin"]:
             del self._compiled[k]
@@ -667,8 +686,9 @@ class BaryonifyShell(DefaultRunner):
         curves, Rcom, rscale = extras[-3:]
         ln_r0, dlnr = curve_meta
         small = self._small_disc_mask(hd, NSIDE)
-        buckets = self._get_tile_buckets(tiling, hd, small,
-                                         inv_dlnr=1.0 / float(dlnr))
+        buckets = self._get_tile_buckets(
+            tiling, hd, small, inv_dlnr=1.0 / float(dlnr),
+            lnDa=np.log(hd["D"] * np.asarray(rscale) / hd["a"]))
 
         pkey = ("tilepack", "displace", id(self.HaloLightConeCatalog))
         if pkey not in self._compiled:
@@ -1451,8 +1471,9 @@ class PaintProfilesShell(DefaultRunner):
         curves = extras[-1]
         ln_r0, dlnr = curve_meta
         small = np.zeros(hd["radius"].shape[0], dtype=bool)
-        buckets = self._get_tile_buckets(tiling, hd, small,
-                                         inv_dlnr=1.0 / float(dlnr))
+        buckets = self._get_tile_buckets(
+            tiling, hd, small, inv_dlnr=1.0 / float(dlnr),
+            lnDa=np.log(hd["D"] / hd["a"]))
 
         pkey = ("tilepack", "paint", id(self.HaloLightConeCatalog),
                 bool(self.include_pixel_size), log_curves)
@@ -1699,7 +1720,8 @@ class PaintProfilesAnisShell(DefaultRunner):
         small = np.zeros(hd["radius"].shape[0], dtype=bool)
         buckets = self._get_tile_buckets(
             tiling, hd, small,
-            inv_dlnr=(1.0 / float(dlnr_p), 1.0 / float(dlnr_t)))
+            inv_dlnr=(1.0 / float(dlnr_p), 1.0 / float(dlnr_t)),
+            lnDa=np.log(hd["D"] / hd["a"]))
         both_log = log_pair[0] and log_pair[1]
 
         pkey = ("tilepack", "paint2", id(self.HaloLightConeCatalog),

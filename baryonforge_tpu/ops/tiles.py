@@ -149,6 +149,105 @@ class SkyTiling:
             np.float64)
         return self._crad
 
+    @property
+    def center_sincos(self):
+        """(n_tiles, 4) host f64: sin/cos of the tile-center colatitude
+        and azimuth [sin th_c, cos th_c, sin ph_c, cos ph_c] —
+        consistent with ``tile_center``. Used by :meth:`slot_local`."""
+        if getattr(self, "_csc", None) is None:
+            th_c = np.arccos(np.clip(self.tile_center[:, 2], -1, 1))
+            ph_c = 2.0 * np.pi * (self.tile_s + 0.5) / self.tile_S
+            self._csc = np.stack([np.sin(th_c), np.cos(th_c),
+                                  np.sin(ph_c), np.cos(ph_c), ph_c],
+                                 axis=1)
+        return self._csc
+
+    def slot_local(self, i0_t, s_t, S_t, csc_t, dtype=jnp.float32,
+                   tangent=False):
+        """Tile-LOCAL slot geometry in ``dtype`` (f32): cheap and
+        locally accurate.
+
+        ``slot_pixels`` computes per-slot f64 sin/cos (software-emulated
+        on TPU, ~the whole fixed cost of a small-H tile row). Here the
+        only per-slot trig is f32 on the SMALL azimuth offset
+        ``d = phi - ph_c``: with per-tile f64 sin/cos of the center
+        (``csc_t``) and per-ring f64 differences, the local offset
+        ``dp = v_pix - c`` comes out with absolute error ~eps_f32 *
+        |dp| — better than computing f64 positions and casting, at a
+        fraction of the cost.
+
+          A  = (sin th_r - sin th_c) - sin th_r * 2 sin^2(d/2)
+          B  = sin th_r * sin d
+          dp = (cph_c*A - sph_c*B,  sph_c*A + cph_c*B,
+                cos th_r - cos th_c)
+
+        With ``tangent=True`` also returns the pixel tangent basis
+        (e_th, e_ph) and the projections a_th = dp.e_th, a_ph = dp.e_ph
+        (the displace-mode split constants; computed product-of-smalls,
+        no cancellation). Returns (dpT (3,P), valid (RB,K)[, e_thT,
+        e_phT, a_th, a_ph])."""
+        N = self.nside
+        RB, K = self.RB, self.K
+        P = RB * K
+        u = jnp.arange(RB, dtype=jnp.int32)
+        i = i0_t.astype(jnp.int32) + u
+        ring_ok = (i >= 1) & (i <= 4 * N - 1)
+        i_c = jnp.clip(i, 1, 4 * N - 1)
+        _, nr, _, sh = hpx.ring_info(N, i_c, jnp.float64)
+        sh_i = sh.astype(jnp.int32)
+        S = S_t.astype(jnp.int32)
+        s = s_t.astype(jnp.int32)
+        j0 = (2 * s * nr - sh_i * S + 2 * S - 1) // (2 * S)
+        j1 = (2 * (s + 1) * nr - sh_i * S + 2 * S - 1) // (2 * S)
+        v = jnp.arange(K, dtype=jnp.int32)
+        j = j0[:, None] + v[None, :]
+        valid = (v[None, :] < (j1 - j0)[:, None]) & ring_ok[:, None]
+
+        sthc, cthc, sphc, cphc = (csc_t[0], csc_t[1], csc_t[2],
+                                  csc_t[3])                    # f64
+        theta_r = hpx.ring_theta(N, i_c, jnp.float64)          # (RB,)
+        sth_r = jnp.sin(theta_r)
+        cth_r = jnp.cos(theta_r)
+        dsin = (sth_r - sthc).astype(dtype)                    # (RB,)
+        dcos = (cth_r - cthc).astype(dtype)
+        sth32 = sth_r.astype(dtype)
+        cth32 = cth_r.astype(dtype)
+
+        # small azimuth offset, f64 int-grid math (no trig), wrapped
+        dphi = 2.0 * jnp.pi / nr
+        ph_c64 = csc_t[4]
+        d = ((j.astype(jnp.float64) + 0.5 * sh[:, None])
+             * dphi[:, None] - ph_c64)
+        d = jnp.mod(d + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        d32 = d.astype(dtype)                                  # (RB,K)
+
+        s2 = jnp.sin(0.5 * d32)
+        c2 = jnp.cos(0.5 * d32)
+        sind = 2.0 * s2 * c2
+        cosm1 = -2.0 * s2 * s2                                 # cos d - 1
+        A = dsin[:, None] + sth32[:, None] * cosm1
+        B = sth32[:, None] * sind
+        sphc32 = jnp.asarray(sphc).astype(dtype)
+        cphc32 = jnp.asarray(cphc).astype(dtype)
+        dp = jnp.stack([cphc32 * A - sphc32 * B,
+                        sphc32 * A + cphc32 * B,
+                        jnp.broadcast_to(dcos[:, None], (RB, K))],
+                       axis=0).reshape(3, P)
+        if not tangent:
+            return dp, valid
+        cosd = 1.0 + cosm1
+        sinp = sphc32 * cosd + cphc32 * sind                   # sin phi
+        cosp = cphc32 * cosd - sphc32 * sind                   # cos phi
+        e_th = jnp.stack([cth32[:, None] * cosp,
+                          cth32[:, None] * sinp,
+                          jnp.broadcast_to(-sth32[:, None], (RB, K))],
+                         axis=0).reshape(3, P)
+        e_ph = jnp.stack([-sinp, cosp, jnp.zeros_like(sinp)],
+                         axis=0).reshape(3, P)
+        a_th = (dp[0] * e_th[0] + dp[1] * e_th[1] + dp[2] * e_th[2])
+        a_ph = (dp[0] * e_ph[0] + dp[1] * e_ph[1] + dp[2] * e_ph[2])
+        return dp, valid, e_th, e_ph, a_th, a_ph
+
     # -- device-side closed-form geometry ------------------------------
     def slot_pixels(self, i0_t, s_t, S_t):
         """Per-slot (pix, phi, valid) for one tile; also per-ring
@@ -432,7 +531,7 @@ def bin_halos_to_tiles(tiling, theta, phi, radius, margin_pix=2.0):
 
 
 def refine_pairs(tiling, tile_ids, halo_ids, vh, chord_rad,
-                 inv_dlnr=None, n_c=16):
+                 inv_dlnr=None, n_c=24, lnDa=None):
     """Exact pair pruning + near/far sweep classification (host).
 
     ``bin_halos_to_tiles`` over-covers: it bins by the disc's
@@ -444,11 +543,15 @@ def refine_pairs(tiling, tile_ids, halo_ids, vh, chord_rad,
     of the tile can pass the kernel's ``chord2 <= crit2`` mask, so
     dropping the pair is value-identical.
 
-    The same distances classify pairs for the WINDOWED curve sweep: a
-    pair whose radial log-range across the tile spans at most ``n_c - 4``
-    curve cells can sweep an ``n_c``-wide window instead of all n_r
-    centers (the kernel recomputes the window start from the same
-    geometry; the -4 margin covers the floor/bracket and f32 rounding).
+    The same distances classify pairs for the WINDOWED curve sweep.
+    The ln-radius budget a window of ``n_c`` cells can cover (after a
+    4-cell bracket/rounding margin) is split half/half between the
+    pair's own radial extent across the tile (``W``) and the radial
+    spread allowed WITHIN one tile-row's halo group (``S``): "far"
+    pairs (extent <= W) are assigned a radial bin of stride S, so every
+    pair grouped into one (tile, bin) kernel row fits a SHARED n_c-wide
+    window — the kernel then needs one scalar window start per row (a
+    cheap min + dynamic_slice, no per-pair gather).
 
     Parameters
     ----------
@@ -456,8 +559,13 @@ def refine_pairs(tiling, tile_ids, halo_ids, vh, chord_rad,
     chord_rad : (n_halos,) max chord ``2 sin(radius/2)``
     inv_dlnr : scalar or sequence of scalars (paint2 passes both grids)
         or None to skip classification (everything "near").
+    lnDa : (n_halos,) radial log offset ``ln(D * rscale / a)`` of the
+        curve lookup (required for classification — the bin lives in
+        the lookup's ln-r space).
 
-    Returns ``(far_pairs, near_pairs)``, each ``(tile_ids, halo_ids)``.
+    Returns ``(far, near)`` where ``far = (tile_ids, halo_ids, bins)``
+    (``bins`` int64 radial bin per pair) and ``near = (tile_ids,
+    halo_ids)``. Feed ``far`` to :func:`bucket_tiles_binned`.
     """
     crad = tiling.tile_crad.astype(np.float32)[tile_ids]
     d = (tiling.tile_center.astype(np.float32)[tile_ids]
@@ -466,15 +574,44 @@ def refine_pairs(tiling, tile_ids, halo_ids, vh, chord_rad,
     lo = dcen - crad
     keep = lo <= np.asarray(chord_rad, np.float32)[halo_ids] + 1e-5
     tile_ids, halo_ids = tile_ids[keep], halo_ids[keep]
-    if inv_dlnr is None:
-        return ((tile_ids[:0], halo_ids[:0]), (tile_ids, halo_ids))
+    if inv_dlnr is None or lnDa is None:
+        return ((tile_ids[:0], halo_ids[:0],
+                 np.zeros(0, np.int64)), (tile_ids, halo_ids))
     lo, dcen, crad = lo[keep], dcen[keep], crad[keep]
     inv = float(np.max(np.asarray(inv_dlnr, np.float64)))
-    width = (np.log(np.maximum(dcen + crad, 1e-30))
-             - np.log(np.maximum(lo, 1e-30))) * np.float32(inv)
-    far = (lo > 0) & (width <= n_c - 4)
-    return ((tile_ids[far], halo_ids[far]),
+    usable = (n_c - 4) / inv                     # ln-r units
+    W = 0.5 * usable                             # pair extent budget
+    S = usable - W                               # in-row spread budget
+    ln_lo = np.log(np.maximum(lo, 1e-30))
+    width = np.log(np.maximum(dcen + crad, 1e-30)) - ln_lo
+    far = (lo > 0) & (width <= np.float32(W))
+    y = ln_lo[far] + np.asarray(lnDa, np.float32)[halo_ids[far]]
+    bins = np.floor(y / np.float32(S)).astype(np.int64)
+    return ((tile_ids[far], halo_ids[far], bins),
             (tile_ids[~far], halo_ids[~far]))
+
+
+def bucket_tiles_binned(far, n_c, h_align=8):
+    """Group far pairs into windowed kernel buckets.
+
+    ``far = (tile_ids, halo_ids, bins)`` from :func:`refine_pairs`.
+    Rows are keyed by (tile, radial bin) so one tile may appear in
+    several rows (the accumulator add handles duplicates); every bucket
+    is tagged with the static window width ``n_c`` (or a tuple of
+    widths for paint2's two grids). Returns the same
+    ``(tids, hidx, n_c)`` tuples :func:`make_tile_deposit` consumes.
+    """
+    t, h, bins = far
+    if t.size == 0:
+        return []
+    b0 = int(bins.min())
+    NB = int(bins.max()) - b0 + 1
+    key = t.astype(np.int64) * NB + (bins - b0)
+    out = []
+    for kt, kh in bucket_tiles(key, h, h_align=h_align):
+        out.append(((kt.astype(np.int64) // NB).astype(np.int32), kh,
+                    n_c))
+    return out
 
 
 def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
@@ -520,6 +657,7 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
     tile_s = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
     tile_S = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
     tile_center = jnp.asarray(tiling.tile_center)          # (n_tiles, 3)
+    center_csc = jnp.asarray(tiling.center_sincos)         # (n_tiles, 5)
     displace = mode == "displace"
     paint2 = mode == "paint2"
     if paint2:
@@ -548,26 +686,22 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                 np.asarray(tiling.tile_crad, dtype=np.dtype(dtype)))
 
     def one_tile(tid, hidx, pack, ln_r0, inv_dlnr, n_c=None):
-        # ---- slot geometry (f64 ints/trig once per slot, cast to dtype)
-        pix, phi, valid, theta_r = tiling.slot_pixels(
-            tile_i0[tid], tile_s[tid], tile_S[tid])
+        # ---- slot geometry: tile-LOCAL f32 (slot_local) — per-slot
+        # f64 trig was ~the whole fixed cost of a small-H tile row
+        # (f64 sin/cos are software-emulated on TPU); the local form is
+        # cheaper AND more accurate for the dp offsets the chord math
+        # consumes. a_th/a_ph = dp.e_th/dp.e_ph replace the old
+        # -c.e_th/-c.e_ph split constants (identical analytically:
+        # v_pix is orthogonal to its own tangent basis).
         c = tile_center[tid]                                # (3,) f64
-        st = jnp.sin(theta_r)[:, None]
-        ct = jnp.cos(theta_r)[:, None]
-        sphi = jnp.sin(phi)
-        cphi = jnp.cos(phi)
-        vp = jnp.stack([st * cphi, st * sphi,
-                        jnp.broadcast_to(ct, phi.shape)], axis=-1)
-        # transposed (3, P) layout: P rides the lane dimension everywhere
-        dpT = (vp - c).reshape(P, 3).astype(dtype).T        # local coords
         if displace:
-            e_thT = jnp.stack([ct * cphi, ct * sphi,
-                               jnp.broadcast_to(-st, phi.shape)],
-                              axis=-1).reshape(P, 3).astype(dtype).T
-            e_phT = jnp.stack([-sphi, cphi, jnp.zeros_like(phi)],
-                              axis=-1).reshape(P, 3).astype(dtype).T
-            a_th = -(c.astype(dtype) @ e_thT)               # (P,)
-            a_ph = -(c.astype(dtype) @ e_phT)
+            dpT, valid, e_thT, e_phT, a_th, a_ph = tiling.slot_local(
+                tile_i0[tid], tile_s[tid], tile_S[tid], center_csc[tid],
+                dtype=dtype, tangent=True)
+        else:
+            dpT, valid = tiling.slot_local(
+                tile_i0[tid], tile_s[tid], tile_S[tid], center_csc[tid],
+                dtype=dtype)
 
         # ---- halo-axis scan in chunks (bounds the (h, P) intermediates)
         n_h = hidx.shape[0]
@@ -595,39 +729,28 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             x = (lnr - ln_r0) * inv_dlnr
 
             if n_c is not None:
-                # WINDOWED sweep (far pairs): the pair's radial range
-                # across this tile spans <= n_c - 4 curve cells (host
-                # classification, refine_pairs), so only an n_c-wide
-                # window of centers can carry weight. The window start
-                # is recomputed here from the same chord geometry the
-                # host used (dist to tile center minus circumradius;
-                # the -1/floor and the host's -4 slack absorb f32
-                # rounding). ln_chmin is cheap (h,)-shaped math.
+                # WINDOWED sweep (far pairs): host grouping
+                # (refine_pairs + bucket_tiles_binned) guarantees every
+                # pair in this row fits one SHARED n_c-wide window of
+                # curve centers, so the window start is a per-row
+                # SCALAR: min over the row's halos of the pair's lower
+                # radial bound (dist to tile center minus circumradius
+                # — the same f32 geometry the host binned by; the
+                # floor(-1) and the host's 4-cell slack absorb
+                # rounding), and the curve slice is one cheap
+                # dynamic_slice per halo chunk — no per-pair gather.
                 dcen = jnp.sqrt(dh[:, 0] * dh[:, 0] + dh[:, 1] * dh[:, 1]
                                 + dh[:, 2] * dh[:, 2])
                 chmin = jnp.maximum(dcen - _crad_dev()[tid], 1e-20)
                 ln_chmin = jnp.log(chmin) + pack["lnDa"][hcl]
+                y_min = jnp.min(jnp.where(ok, ln_chmin, jnp.inf))
 
-                def window(cv, g_ln_r0, g_inv, nr):
-                    """(clo, cvw): window start + curve slice, via a
-                    one-hot accumulate over the nr storage slots (3 VPU
-                    instrs per (h, n_c, center) on small (h, n_c)
-                    shapes — no per-lane gather)."""
+                def window(cv, g_ln_r0, g_inv, nr, nc):
                     clo = jnp.clip(
-                        jnp.floor((ln_chmin - g_ln_r0) * g_inv - 1.0)
-                        .astype(jnp.int32), 0, nr - n_c)
-                    tgt = clo[:, None] + jnp.arange(n_c, dtype=jnp.int32)
-                    z0 = jnp.zeros(tgt.shape, dtype=cv.dtype)
-                    if mesh is not None:   # carry mixes sharded inputs
-                        z0 = compat.pvary(z0, (mesh_axis,))
-                    cvw = jax.lax.fori_loop(
-                        0, nr,
-                        lambda k, acc: acc + jnp.where(
-                            tgt == k,
-                            jax.lax.dynamic_slice_in_dim(cv, k, 1,
-                                                         axis=1), 0.0),
-                        z0)
-                    return clo, cvw
+                        jnp.floor((y_min - g_ln_r0) * g_inv)
+                        .astype(jnp.int32) - 1, 0, nr - nc)
+                    return clo, jax.lax.dynamic_slice_in_dim(
+                        cv, clo, nc, axis=1)
 
             def contract(cv, xx, nr):
                 if lookup == "mxu":
@@ -684,9 +807,13 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
             if n_c is None:
                 val = contract(pack["curves"][hcl], x, n_r)
             else:
+                nc1, nc2 = (n_c if isinstance(n_c, tuple)
+                            else (n_c, n_c))
+                nc1 = min(nc1, n_r)
+                nc2 = min(nc2, n_r2) if n_r2 is not None else nc2
                 clo, cvw = window(pack["curves"][hcl], ln_r0, inv_dlnr,
-                                  n_r)
-                val = contract(cvw, x - clo[:, None].astype(dtype), n_c)
+                                  n_r, nc1)
+                val = contract(cvw, x - clo.astype(dtype), nc1)
             use = ((x >= 0) & (x <= n_r - 1) & ok[:, None]
                    & (chord2 <= pack["crit2"][hcl][:, None]))
             if paint2:
@@ -696,9 +823,9 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                 else:
                     clo2, cvw2 = window(pack["curves2"][hcl],
                                         pack["ln_r0_2"],
-                                        pack["inv_dlnr_2"], n_r2)
-                    v2 = contract(cvw2,
-                                  x2 - clo2[:, None].astype(dtype), n_c)
+                                        pack["inv_dlnr_2"], n_r2,
+                                        nc2)
+                    v2 = contract(cvw2, x2 - clo2.astype(dtype), nc2)
                 val = (val + v2) if log_curves else (val * v2)
                 use = use & (x2 >= 0) & (x2 <= n_r2 - 1)
             if log_curves:           # paint curves store log values
@@ -828,8 +955,12 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
 
     def _bucket_nc(bucket):
         # bucket = (tids, hidx[, n_c]); n_c is the static window width
-        # (None = full n_r sweep)
+        # (None = full n_r sweep; a tuple gives paint2's two widths)
         n_c = bucket[2] if len(bucket) > 2 else None
+        if isinstance(n_c, tuple):
+            if n_c[0] >= n_r and (n_r2 is None or n_c[1] >= n_r2):
+                return None
+            return n_c
         if n_c is not None and n_c >= n_r:
             n_c = None
         return n_c

@@ -31,18 +31,18 @@ def _setup(n=250, seed=7, nside=64):
                    np.cos(th)], axis=1)
     radius = rng.uniform(0.02, 0.35, n)
     chord_rad = 2 * np.sin(np.minimum(radius, np.pi) / 2)
+    lnDa = np.log(rng.uniform(900, 1100, n))
     pack = dict(
         vh=jnp.asarray(vh),
         crit2=jnp.asarray(chord_rad ** 2, dtype=jnp.float32),
-        lnDa=jnp.asarray(np.log(rng.uniform(900, 1100, n)),
-                         dtype=jnp.float32),
+        lnDa=jnp.asarray(lnDa, dtype=jnp.float32),
         afac=jnp.asarray(rng.uniform(0.4, 0.6, n), dtype=jnp.float32),
         invD=jnp.asarray(1.0 / rng.uniform(900, 1100, n),
                          dtype=jnp.float32),
         curves=jnp.asarray(rng.normal(0, 1, (n, N_R)).cumsum(1) * 1e-3,
                            dtype=jnp.float32))
     t_ids, h_ids = T.bin_halos_to_tiles(tiling, th, ph, radius)
-    return tiling, vh, chord_rad, pack, (t_ids, h_ids)
+    return tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids)
 
 
 def _accumulate(tiling, run, buckets, pack, ln_r0, inv):
@@ -76,9 +76,10 @@ def test_refine_prune_is_exact_and_nonempty():
     """Every pruned pair must have NO pixel inside the halo's disc —
     then dropping it is value-identical (the kernel's crit2 mask would
     have zeroed every pixel). Proven geometrically per pruned pair."""
-    tiling, vh, chord_rad, pack, (t_ids, h_ids) = _setup()
+    tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids) = _setup()
     far, near = T.refine_pairs(tiling, t_ids, h_ids, vh, chord_rad,
-                               inv_dlnr=(N_R - 1) / np.log(6e4), n_c=16)
+                               inv_dlnr=(N_R - 1) / np.log(6e4),
+                               n_c=24, lnDa=lnDa)
     kept = far[0].size + near[0].size
     assert kept < t_ids.size          # something actually pruned
     assert far[0].size > 0            # and something classified far
@@ -96,26 +97,35 @@ def test_refine_prune_is_exact_and_nonempty():
         assert chord.min() > chord_rad[h], (t, h)
 
 
+def _windowed_buckets(far, near, invs, n_c=24):
+    usable = (n_c - 4) / max(invs)
+    tags = tuple(int(np.ceil(usable * iv)) + 4 for iv in invs)
+    tag = tags[0] if len(tags) == 1 else tags
+    return (T.bucket_tiles_binned(
+        (far[0], far[1].astype(np.int64), far[2]), tag)
+        + T.bucket_tiles(near[0], near[1].astype(np.int64)))
+
+
 @pytest.mark.parametrize("mode", ["displace", "paint"])
 def test_windowed_matches_full(mode):
-    tiling, vh, chord_rad, pack, (t_ids, h_ids) = _setup()
+    tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids) = _setup()
     ln_r0 = float(np.log(1e-3))
     inv = float((N_R - 1) / np.log(6e4))
     far, near = T.refine_pairs(tiling, t_ids, h_ids, vh, chord_rad,
-                               inv_dlnr=inv, n_c=16)
+                               inv_dlnr=inv, n_c=24, lnDa=lnDa)
+    assert far[0].size > 0
     run = T.make_tile_deposit(tiling, N_R, mode=mode)
     full = _accumulate(tiling, run, T.bucket_tiles(
         t_ids, h_ids.astype(np.int64)), pack, ln_r0, inv)
-    win_buckets = ([(t, h, 16) for (t, h) in T.bucket_tiles(
-        far[0], far[1].astype(np.int64))]
-        + T.bucket_tiles(near[0], near[1].astype(np.int64)))
-    win = _accumulate(tiling, run, win_buckets, pack, ln_r0, inv)
+    win = _accumulate(tiling, run,
+                      _windowed_buckets(far, near, (inv,)),
+                      pack, ln_r0, inv)
     scale = np.abs(full).max()
     np.testing.assert_allclose(win, full, rtol=0, atol=3e-6 * scale)
 
 
 def test_windowed_matches_full_paint2():
-    tiling, vh, chord_rad, pack, (t_ids, h_ids) = _setup(n=150)
+    tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids) = _setup(n=150)
     n_r2 = 32
     rng = np.random.default_rng(11)
     pack = dict(pack)
@@ -128,15 +138,15 @@ def test_windowed_matches_full_paint2():
     pack["ln_r0_2"] = jnp.asarray(np.log(2e-3), dtype=jnp.float32)
     pack["inv_dlnr_2"] = jnp.asarray(inv2, dtype=jnp.float32)
     far, near = T.refine_pairs(tiling, t_ids, h_ids, vh, chord_rad,
-                               inv_dlnr=(inv, inv2), n_c=16)
+                               inv_dlnr=(inv, inv2), n_c=24, lnDa=lnDa)
+    assert far[0].size > 0
     run = T.make_tile_deposit(tiling, N_R, mode="paint2", n_r2=n_r2,
                               log_curves=False)
     full = _accumulate(tiling, run, T.bucket_tiles(
         t_ids, h_ids.astype(np.int64)), pack, ln_r0, inv)
-    win_buckets = ([(t, h, 16) for (t, h) in T.bucket_tiles(
-        far[0], far[1].astype(np.int64))]
-        + T.bucket_tiles(near[0], near[1].astype(np.int64)))
-    win = _accumulate(tiling, run, win_buckets, pack, ln_r0, inv)
+    win = _accumulate(tiling, run,
+                      _windowed_buckets(far, near, (inv, inv2)),
+                      pack, ln_r0, inv)
     scale = np.abs(full).max()
     np.testing.assert_allclose(win, full, rtol=0, atol=3e-6 * scale)
 

@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--nside", type=int, default=1024)
     ap.add_argument("--halos", type=int, default=20000)
     ap.add_argument("--nr", type=int, default=64)
-    ap.add_argument("--nc", type=int, default=16)
+    ap.add_argument("--nc", type=int, default=24)
     ap.add_argument("--lookup", default="auto")
     ap.add_argument("--modes", default="displace,paint")
     ap.add_argument("--paths", default="full,windowed")
@@ -78,7 +78,8 @@ def main():
 
     t_ids, h_ids = T.bin_halos_to_tiles(tiling, th, ph, radius)
     far, near = T.refine_pairs(tiling, t_ids, h_ids, vh, chord_rad,
-                               inv_dlnr=inv, n_c=args.nc)
+                               inv_dlnr=inv, n_c=args.nc,
+                               lnDa=np.log(D))
     n_all, n_far, n_near = t_ids.size, far[0].size, near[0].size
     print(f"# pairs: {n_all} binned, {n_all - n_far - n_near} pruned "
           f"({100 * (1 - (n_far + n_near) / n_all):.1f}%), "
@@ -86,9 +87,10 @@ def main():
           f"{n_near} near")
 
     full_buckets = T.bucket_tiles(t_ids, h_ids.astype(np.int64))
-    win_buckets = ([(t, h, args.nc) for (t, h) in
-                    T.bucket_tiles(far[0], far[1].astype(np.int64))]
-                   + T.bucket_tiles(near[0], near[1].astype(np.int64)))
+    far_b = T.bucket_tiles_binned(
+        (far[0], far[1].astype(np.int64), far[2]), args.nc)
+    win_buckets = far_b + T.bucket_tiles(near[0],
+                                         near[1].astype(np.int64))
 
     def npairs(buckets):
         return sum(b[0].size * b[1].shape[1] for b in buckets)
@@ -97,12 +99,11 @@ def main():
     for mode in args.modes.split(","):
         run = T.make_tile_deposit(tiling, n_r, mode=mode,
                                   lookup=args.lookup)
-        far_b = T.bucket_tiles(far[0], far[1].astype(np.int64))
+        far_full = [(t, h) for (t, h, _) in far_b]
         for path, buckets in (("full", full_buckets),
                               ("windowed", win_buckets),
-                              ("faronly-full", far_b),
-                              ("faronly-win",
-                               [(t, h, args.nc) for (t, h) in far_b])):
+                              ("faronly-full", far_full),
+                              ("faronly-win", far_b)):
             if path not in args.paths.split(","):
                 continue
 
