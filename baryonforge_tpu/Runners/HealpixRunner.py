@@ -412,13 +412,25 @@ class DefaultRunner:
         sweep). Far buckets carry the static window width(s) as a third
         element (a tuple when two grids are given, paint2).
 
+        The windowed sweep is OPT-IN via ``BFG_WINDOWED=1``: with the
+        x2 bucket-size classes the full-sweep padding dropped enough
+        that it beats the windowed kernel in wall time on TPU (NSIDE
+        4096 displace: 2.33 s full vs 3.38 s windowed; NSIDE 1024:
+        144 ms vs 172 ms — tools/deposit_bench.py), because the
+        (tile, radial-bin) grouping fragments rows into more, emptier
+        buckets than plain per-tile grouping. The exact pair pruning
+        (15-25% of pairs dropped) applies on both paths.
+
         When ``BFG_CACHE_DIR`` is set the refined buckets also persist
         to an npz keyed by a digest of (nside, positions, radii,
         inv_dlnr, lnDa), so repeat processes (bench rounds, parameter
         sweeps over a fixed catalog) skip the multi-minute host binning
         of ~25M pairs at 1e6 halos (warmup amortization, VERDICT r3
         order #6)."""
+        import os
         from ..ops import tiles as _tiles
+        if os.environ.get("BFG_WINDOWED", "0") != "1":
+            inv_dlnr, lnDa = None, None
         radius = hd["radius"]
         invs = (None if inv_dlnr is None
                 else tuple(np.atleast_1d(np.asarray(inv_dlnr,
@@ -431,7 +443,6 @@ class DefaultRunner:
         if bkey in self._compiled:
             return self._compiled[bkey]
 
-        import os
         idx_big = np.where(~small)[0]
         cache_dir = os.environ.get("BFG_CACHE_DIR")
         path, buckets = None, None
@@ -473,15 +484,9 @@ class DefaultRunner:
                 inv_dlnr=invs, n_c=n_c, lnDa=lnDa_b)
             buckets = []
             if far[0].size:
-                # per-grid static window widths from the shared ln-r
-                # budget (matches refine_pairs' S + W split)
-                usable = (n_c - 4) / max(invs)
-                tags = tuple(int(np.ceil(usable * iv)) + 4
-                             for iv in invs)
-                tag = tags[0] if len(tags) == 1 else tags
                 buckets += _tiles.bucket_tiles_binned(
                     (far[0], idx_big[far[1]].astype(np.int64), far[2]),
-                    tag)
+                    _tiles.window_tags(invs, n_c))
             buckets += _tiles.bucket_tiles(
                 near[0], idx_big[near[1]].astype(np.int64))
             if path is not None:

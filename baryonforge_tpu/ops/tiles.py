@@ -614,6 +614,22 @@ def bucket_tiles_binned(far, n_c, h_align=8):
     return out
 
 
+def window_tags(invs, n_c=24):
+    """Static window width(s) for the windowed sweep's far buckets.
+
+    :func:`refine_pairs` budgets the shared ln-r window in the COARSEST
+    grid's cells (``max(invs)``); each grid's own static width is that
+    ln-r budget re-expressed in its cells plus the same 4-cell
+    bracket/rounding margin. Returns a scalar for one grid, a tuple for
+    paint2's two grids — the tag :func:`bucket_tiles_binned` attaches.
+    """
+    invs = tuple(float(v) for v in
+                 np.atleast_1d(np.asarray(invs, np.float64)))
+    usable = (n_c - 4) / max(invs)
+    tags = tuple(int(np.ceil(usable * iv)) + 4 for iv in invs)
+    return tags[0] if len(tags) == 1 else tags
+
+
 def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                       h_chunk=64, t_chunk=256, log_curves=False,
                       lookup="auto", mesh=None, mesh_axis="halos",
@@ -787,17 +803,22 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                         lambda cc, acc: acc
                         + jnp.clip(xx - cc, 0.0, 1.0)
                         * jax.lax.dynamic_slice_in_dim(d, cc, 1, axis=1),
-                        jnp.broadcast_to(cv[:, 0:1], xx.shape))
+                        jnp.broadcast_to(cv[:, 0:1], xx.shape),
+                        unroll=True)
                 if lookup == "hat":
                     # exact linear interp as a hat-basis contraction: the
                     # TPU has no per-lane gather, so
                     # sum_c max(0, 1-|x-c|)*cv[:,c] IS the native lookup
+                    # unroll=True: the sweep is the kernel's hot loop
+                    # and the body is ~3 vector ops — unrolled, the
+                    # dynamic_slice starts become constants (static
+                    # slices) and XLA can software-pipeline the fmas
                     return jax.lax.fori_loop(
                         0, nr,
                         lambda cc, acc: acc + jnp.maximum(
                             0.0, 1.0 - jnp.abs(xx - cc))
                         * jax.lax.dynamic_slice_in_dim(cv, cc, 1, axis=1),
-                        jnp.zeros_like(xx))
+                        jnp.zeros_like(xx), unroll=True)
                 i = jnp.clip(xx.astype(jnp.int32), 0, nr - 2)
                 t = xx - i.astype(dtype)
                 v0 = jnp.take_along_axis(cv, i, axis=1)
@@ -1032,13 +1053,18 @@ def bucket_tiles(tile_ids, halo_ids, n_buckets=4, h_align=8):
     starts = np.flatnonzero(bnd)
     utiles = t_sorted[starts]
     counts = np.diff(np.append(starts, t_sorted.size))
-    # bucket edges: geometric in count
+    # bucket edges: geometric in count. x2 growth (not x4): at
+    # NSIDE=4096/1e5 halos the x4 classes padded the kept pairs 2.36x
+    # (a (8, 32] row pads to H=32) while x2 pads 1.39x for one extra
+    # shape class per ~decade of counts — padding is pure VPU waste,
+    # the (h, P) kernel does full work on -1 slots. h_align=8 is the
+    # hardware floor: h rides the sublane dim, so H < 8 wastes vregs.
     cmax = int(counts.max())
     edges = [0]
     c = max(h_align, int(np.ceil(counts.min() / h_align) * h_align))
     while c < cmax:
         edges.append(c)
-        c *= 4
+        c *= 2
     edges.append(cmax)
     buckets = []
     for lo, hi in zip(edges[:-1], edges[1:]):

@@ -98,11 +98,9 @@ def test_refine_prune_is_exact_and_nonempty():
 
 
 def _windowed_buckets(far, near, invs, n_c=24):
-    usable = (n_c - 4) / max(invs)
-    tags = tuple(int(np.ceil(usable * iv)) + 4 for iv in invs)
-    tag = tags[0] if len(tags) == 1 else tags
     return (T.bucket_tiles_binned(
-        (far[0], far[1].astype(np.int64), far[2]), tag)
+        (far[0], far[1].astype(np.int64), far[2]),
+        T.window_tags(invs, n_c))
         + T.bucket_tiles(near[0], near[1].astype(np.int64)))
 
 

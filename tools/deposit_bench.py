@@ -88,7 +88,8 @@ def main():
 
     full_buckets = T.bucket_tiles(t_ids, h_ids.astype(np.int64))
     far_b = T.bucket_tiles_binned(
-        (far[0], far[1].astype(np.int64), far[2]), args.nc)
+        (far[0], far[1].astype(np.int64), far[2]),
+        T.window_tags(inv, args.nc))
     win_buckets = far_b + T.bucket_tiles(near[0],
                                          near[1].astype(np.int64))
 
