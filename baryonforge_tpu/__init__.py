@@ -27,6 +27,28 @@ if not os.environ.get("BFG_TPU_NO_X64"):
     import jax
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: table-build and runner kernels compile in
+# 20-120 s (remote compiler on the axon backend; tens of seconds on
+# XLA:CPU) but are stable across processes — cache them once per machine.
+# Opt out with BFG_TPU_NO_COMPILE_CACHE=1 or point BFG_TPU_COMPILE_CACHE
+# somewhere else (default: $XDG_CACHE_HOME/baryonforge_tpu/jax).
+if not os.environ.get("BFG_TPU_NO_COMPILE_CACHE"):
+    import jax
+    _cache = os.environ.get(
+        "BFG_TPU_COMPILE_CACHE",
+        os.path.join(os.environ.get("XDG_CACHE_HOME",
+                                    os.path.expanduser("~/.cache")),
+                     "baryonforge_tpu", "jax"))
+    try:
+        # respect an app-level choice (bench.py / conftest point the
+        # cache at the repo's .jax_cache before importing the package)
+        if getattr(jax.config, "jax_compilation_cache_dir", None) is None:
+            jax.config.update("jax_compilation_cache_dir", _cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:          # older jax without the knobs
+        pass
+
 from . import cosmo
 from . import ops
 from . import utils
