@@ -27,6 +27,20 @@ if not os.environ.get("BFG_TPU_NO_X64"):
     import jax
     jax.config.update("jax_enable_x64", True)
 
+# Honor the user's JAX_PLATFORMS: some accelerator plugins force-select
+# their platform at interpreter startup, silently overriding the env var
+# (a CPU-pinned run then lands on the accelerator). Re-assert the user's
+# explicit choice while jax is still uninitialized.
+_env_plat = os.environ.get("JAX_PLATFORMS")
+if _env_plat:
+    import jax
+    try:
+        if (jax.config.jax_platforms or "") != _env_plat:
+            jax.config.update("jax_platforms", _env_plat)
+    except Exception:          # backends already initialized: too late
+        pass
+del _env_plat
+
 # Persistent compilation cache: table-build and runner kernels compile in
 # 20-120 s (remote compiler on the axon backend; tens of seconds on
 # XLA:CPU) but are stable across processes — cache them once per machine.

@@ -66,6 +66,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
+    # persistent host-prep cache: the 1e6-halo tile binning (~40 s) and
+    # its refined buckets persist across runs (warmup amortization)
+    os.environ.setdefault(
+        "BFG_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".bfg_cache"))
+
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
