@@ -148,7 +148,13 @@ def main():
     tab.load_table(ptable_path)
     print(f"# paint table: {time.time()-t0:.1f} s", file=sys.stderr)
 
-    results = {"nside": nside, "n_halos": n_halos}
+    results = {"nside": nside, "n_halos": n_halos,
+               "date": time.strftime("%Y-%m-%d"),
+               "note": ("phase_a_s/phase_b_stencil_s/paint_compute_s are "
+                        "warm, blocked device times; e2e compute/transfer "
+                        "fields include dev-tunnel RPC congestion (~ms "
+                        "transfers on attached hardware). "
+                        "tools/northstar.py reproduces")}
 
     def checkpoint():
         # partial-result emit: a timeout mid-run (cold compiles can eat
