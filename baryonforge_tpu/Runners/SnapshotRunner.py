@@ -84,8 +84,14 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         cat = self.HaloNDCatalog.cat
         a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
         M = np.asarray(cat["M"], dtype=float)
-        R = np.asarray(jax.jit(lambda M, a: self.mass_def.get_radius(
-            cosmo, M, a))(M, a))   # jit: eager axon dispatch is ~55 s/op at 1e5
+        rkey = ("snapradii", id(cat), float(a))
+        if rkey not in self._compiled:
+            R = np.asarray(jax.jit(lambda M, a: self.mass_def.get_radius(
+                cosmo, M, a))(M, a))   # jit: eager axon dispatch ~55 s/op
+            for k in [k for k in self._compiled if k[0] == "snapradii"]:
+                del self._compiled[k]
+            self._compiled[rkey] = R
+        R = self._compiled[rkey]
         R_q = np.clip(self.epsilon_max * R / a, 0, L / 2)
         hcols = ["x", "y"] if is2D else ["x", "y", "z"]
         hpos = np.stack([np.asarray(cat[c], dtype=float) for c in hcols],
@@ -93,21 +99,14 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         keys = self._model_p_keys()
         extras = [np.asarray(cat[k], dtype=float) for k in keys]
 
-        # host-side neighbour COUNTS first (one cheap pass); the padded
-        # index lists are built per count-bucket below, each padded only
-        # to its own bucket max (a global-max pad would let one dense
-        # halo inflate the (nq, pad) array for everyone)
-        if not is2D:
-            from .. import native
-            counts = native.cell_query_counts(coords, L, hpos, R_q)
-            neigh2d = None
-        else:
-            neigh2d = self.tree.query_ball_point(np.mod(hpos, L), R_q)
-            counts = np.array([len(x) for x in neigh2d], dtype=np.int64)
-
         model = self.model
         dt = self.dtype
-        coords_dev = jnp.asarray(coords)
+        # particle coords live on device once per runner: the compiled
+        # step closes over them as a constant, so re-uploading them per
+        # call (24 MB at 1e6 particles) would be pure host->device waste
+        if getattr(self, "_coords_dev", None) is None:
+            self._coords_dev = jnp.asarray(coords)
+        coords_dev = self._coords_dev
 
         def make_step(K):
             def one_halo(hp, M_h, valid_h, inds, nn, *o_h):
@@ -136,49 +135,91 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                     vec.reshape(-1, ndim)), None
             return body
 
-        # bucket halos by neighbour count; each bucket re-queries the cell
-        # list with ITS OWN pad (counts are exact, so no truncation)
-        order = np.argsort(counts)
-        splits = np.array_split(order, max(1, min(self.n_size_buckets,
-                                                  len(counts))))
+        # ---- neighbour lists + device batches: built once, cached -----
+        # The padded neighbour lists are the dominant per-call cost at
+        # scale (host cell-list query + a ~100 MB host->device upload at
+        # 1e6 particles / 20k halos) while the halo/particle GEOMETRY is
+        # fixed per runner — only the model's curves change between
+        # calls in a parameter sweep. So the batches are built and
+        # uploaded once per (catalog, snapshot, epsilon_max) and reused
+        # by every subsequent process() call (same pattern as the shell
+        # runner's cached tile buckets).
         ndev = 1 if self.mesh is None else self.mesh.devices.size
-        acc = jnp.zeros((n_part + 1, ndim), dtype=dt)
-        for idx in splits:
-            if idx.size == 0:
-                continue
-            K = max(int(counts[idx].max()), 1)
-            body = make_step(K)
-            if neigh2d is None:
+        bkey = ("snapbatches", id(cat), n_part, float(np.sum(R_q)),
+                self.n_size_buckets, self.halo_batch, ndev, tuple(keys))
+        batches = self._compiled.get(bkey)
+        if batches is None:
+            # host-side neighbour COUNTS first (one cheap pass); the
+            # padded index lists are built per count-bucket below, each
+            # padded only to its own bucket max (a global-max pad would
+            # let one dense halo inflate the (nq, pad) array for all)
+            if not is2D:
                 from .. import native
-                inds_pad, _ = native.cell_query(coords, L, hpos[idx],
-                                                R_q[idx], pad=K)
-                inds_pad = np.where(inds_pad < 0, n_part, inds_pad)
+                counts = native.cell_query_counts(coords, L, hpos, R_q)
+                neigh2d = None
             else:
-                inds_pad = np.full((idx.size, K), n_part, dtype=np.int64)
-                for row, j in enumerate(idx):
-                    inds_pad[row, :counts[j]] = neigh2d[j]
-            # pad halo axis to batch multiples (and, sharded, to a batch
-            # count divisible by the mesh size)
-            B = max(1, min(self.halo_batch, 8_000_000 // K))
-            nb = -(-idx.size // B)
-            nb = -(-nb // ndev) * ndev
-            pad = nb * B - idx.size
+                neigh2d = self.tree.query_ball_point(np.mod(hpos, L),
+                                                     R_q)
+                counts = np.array([len(x) for x in neigh2d],
+                                  dtype=np.int64)
+            assert n_part < np.iinfo(np.int32).max  # int32 indices
+            # bucket halos by neighbour count; each bucket re-queries
+            # the cell list with ITS OWN pad (counts are exact, so no
+            # truncation)
+            order = np.argsort(counts)
+            splits = np.array_split(order,
+                                    max(1, min(self.n_size_buckets,
+                                               len(counts))))
+            batches = []
+            for idx in splits:
+                if idx.size == 0:
+                    continue
+                K = max(int(counts[idx].max()), 1)
+                if neigh2d is None:
+                    from .. import native
+                    inds_pad, _ = native.cell_query(coords, L,
+                                                    hpos[idx],
+                                                    R_q[idx], pad=K)
+                    inds_pad = np.where(inds_pad < 0, n_part,
+                                        inds_pad).astype(np.int32)
+                else:
+                    inds_pad = np.full((idx.size, K), n_part,
+                                       dtype=np.int32)
+                    for row, j in enumerate(idx):
+                        inds_pad[row, :counts[j]] = neigh2d[j]
+                # pad halo axis to batch multiples (and, sharded, to a
+                # batch count divisible by the mesh size)
+                B = max(1, min(self.halo_batch, 8_000_000 // K))
+                nb = -(-idx.size // B)
+                nb = -(-nb // ndev) * ndev
+                pad = nb * B - idx.size
 
-            def padb(x, fill=0.0):
-                shape = (pad,) + x.shape[1:]
-                return np.concatenate(
-                    [x, np.full(shape, fill, dtype=x.dtype)]
-                ).reshape((nb, B) + x.shape[1:])
+                def padb(x, fill=0.0):
+                    shape = (pad,) + x.shape[1:]
+                    return np.concatenate(
+                        [x, np.full(shape, fill, dtype=x.dtype)]
+                    ).reshape((nb, B) + x.shape[1:])
 
-            batch = (jnp.asarray(padb(hpos[idx])),
-                     jnp.asarray(padb(M[idx])),
-                     jnp.asarray(np.concatenate(
-                         [np.ones(idx.size, bool), np.zeros(pad, bool)]
-                     ).reshape(nb, B)),
-                     jnp.asarray(padb(inds_pad, fill=n_part)),
-                     jnp.asarray(padb(counts[idx].astype(np.int64))),
-                     ) + tuple(jnp.asarray(padb(e[idx])) for e in extras)
+                batch = (jnp.asarray(padb(hpos[idx])),
+                         jnp.asarray(padb(M[idx])),
+                         jnp.asarray(np.concatenate(
+                             [np.ones(idx.size, bool),
+                              np.zeros(pad, bool)]).reshape(nb, B)),
+                         jnp.asarray(padb(inds_pad,
+                                          fill=np.int32(n_part))),
+                         jnp.asarray(padb(counts[idx]
+                                          .astype(np.int32))),
+                         ) + tuple(jnp.asarray(padb(e[idx]))
+                                   for e in extras)
+                batches.append((K, nb, B, batch))
+            for k in [k for k in self._compiled
+                      if k[0] == "snapbatches" and k != bkey]:
+                del self._compiled[k]     # bound device-memory growth
+            self._compiled[bkey] = batches
 
+        acc = jnp.zeros((n_part + 1, ndim), dtype=dt)
+        for K, nb, B, batch in batches:
+            body = make_step(K)
             kkey = ("snapstep", K, nb, B, ndim, len(extras),
                     self.mesh is None)
             if kkey not in self._compiled:
