@@ -400,46 +400,61 @@ class DefaultRunner:
         return self._compiled[tkey]
 
     def _get_tile_buckets(self, tiling, hd, small, inv_dlnr=None,
-                          lnDa=None, n_c=24):
+                          lnDa=None, n_c=24, grids=None):
         """(cached) halo->tile binning for the non-``small`` halos.
 
         The bounding-box pairs from ``bin_halos_to_tiles`` are refined
-        by ``ops.tiles.refine_pairs``: tiles provably outside a disc are
-        dropped (exact, ~15-25% of pairs), and with ``inv_dlnr`` +
-        ``lnDa`` given the survivors split into "far" pairs — grouped by
-        (tile, radial bin) so each kernel row shares one n_c-wide curve
-        window (the windowed sweep) — and "near" pairs (full n_r
-        sweep). Far buckets carry the static window width(s) as a third
-        element (a tuple when two grids are given, paint2).
+        by ``ops.tiles.refine_pairs``: tiles provably outside a disc
+        are dropped (exact, ~15-25% of pairs). With ``grids`` (a list
+        of ``(ln_r0, inv_dlnr, n_r)`` per lookup grid — two for paint2)
+        and ``lnDa`` given, each tile is then assigned the narrowest
+        static curve-window CLASS its pairs fit
+        (``ops.tiles.classify_tile_windows``): rows keep the exact
+        per-tile membership and padding of the full sweep, but the
+        kernel only sweeps the class's window width — strictly fewer
+        VPU ops wherever a class < n_r applies. Class buckets carry the
+        static window width(s) as a third element (a tuple for
+        paint2's two grids). ``BFG_TILE_WINDOW=0`` disables the class
+        path (plain full sweep).
 
-        The windowed sweep is OPT-IN via ``BFG_WINDOWED=1``: with the
-        x2 bucket-size classes the full-sweep padding dropped enough
-        that it beats the windowed kernel in wall time on TPU (NSIDE
-        4096 displace: 2.33 s full vs 3.38 s windowed; NSIDE 1024:
-        144 ms vs 172 ms — tools/deposit_bench.py), because the
-        (tile, radial-bin) grouping fragments rows into more, emptier
-        buckets than plain per-tile grouping. The exact pair pruning
-        (15-25% of pairs dropped) applies on both paths.
+        The LEGACY (tile, radial-bin) far/near windowed split remains
+        opt-in via ``BFG_WINDOWED=1``: it fragments each tile's pairs
+        over several rows, and the h_align padding on the emptier rows
+        eats the sweep win (NSIDE 4096 displace: 2.33 s full vs 3.38 s
+        binned-windowed — tools/deposit_bench.py), which is what the
+        per-tile class design fixes.
 
         When ``BFG_CACHE_DIR`` is set the refined buckets also persist
         to an npz keyed by a digest of (nside, positions, radii,
-        inv_dlnr, lnDa), so repeat processes (bench rounds, parameter
-        sweeps over a fixed catalog) skip the multi-minute host binning
-        of ~25M pairs at 1e6 halos (warmup amortization, VERDICT r3
-        order #6)."""
+        inv_dlnr, lnDa, grids), so repeat processes (bench rounds,
+        parameter sweeps over a fixed catalog) skip the multi-minute
+        host binning of ~25M pairs at 1e6 halos (warmup amortization,
+        VERDICT r3 order #6)."""
         import os
         from ..ops import tiles as _tiles
-        if os.environ.get("BFG_WINDOWED", "0") != "1":
-            inv_dlnr, lnDa = None, None
+        mode = "plain"
+        if (os.environ.get("BFG_WINDOWED", "0") == "1"
+                and inv_dlnr is not None and lnDa is not None):
+            mode = "binned"
+        elif (os.environ.get("BFG_TILE_WINDOW", "1") != "0"
+                and grids is not None and lnDa is not None):
+            mode = "class"
+        if mode != "binned":
+            inv_dlnr = None
+        if mode == "plain":
+            lnDa = None
         radius = hd["radius"]
         invs = (None if inv_dlnr is None
                 else tuple(np.atleast_1d(np.asarray(inv_dlnr,
                                                     np.float64))))
+        grids_key = (None if mode != "class" else
+                     tuple((round(float(g[0]), 9), round(float(g[1]), 9),
+                            int(g[2])) for g in grids))
         inv_key = None if invs is None else tuple(np.round(invs, 9))
         lnDa_key = None if lnDa is None else round(float(np.sum(lnDa)), 6)
         bkey = ("tilebin", id(self.HaloLightConeCatalog), tiling.nside,
                 radius.shape[0], float(radius.sum()), inv_key, lnDa_key,
-                n_c)
+                n_c, grids_key)
         if bkey in self._compiled:
             return self._compiled[bkey]
 
@@ -450,7 +465,8 @@ class DefaultRunner:
             import hashlib
             dg = hashlib.blake2b(digest_size=16)
             dg.update(np.int64(tiling.nside).tobytes())
-            dg.update(repr((inv_key, lnDa_key, n_c)).encode())
+            dg.update(repr((inv_key, lnDa_key, n_c,
+                            grids_key)).encode())
             for arr in (hd["theta"][idx_big], hd["phi"][idx_big],
                         radius[idx_big]):
                 dg.update(np.ascontiguousarray(arr).tobytes())
@@ -487,8 +503,16 @@ class DefaultRunner:
                 buckets += _tiles.bucket_tiles_binned(
                     (far[0], idx_big[far[1]].astype(np.int64), far[2]),
                     _tiles.window_tags(invs, n_c))
-            buckets += _tiles.bucket_tiles(
-                near[0], idx_big[near[1]].astype(np.int64))
+            if mode == "class":
+                tk, hk = near
+                cls = _tiles.classify_tile_windows(
+                    tiling, tk, hk, vh, chord_rad, lnDa_b, grids)
+                buckets += _tiles.bucket_tiles_classed(
+                    tk, idx_big[hk].astype(np.int64), cls,
+                    tuple(float(g[1]) for g in grids))
+            else:
+                buckets += _tiles.bucket_tiles(
+                    near[0], idx_big[near[1]].astype(np.int64))
             if path is not None:
                 np.savez(path, n_buckets=len(buckets),
                          **{f"t{i}": b[0] for i, b in enumerate(buckets)},
@@ -693,7 +717,9 @@ class BaryonifyShell(DefaultRunner):
         small = self._small_disc_mask(hd, NSIDE)
         buckets = self._get_tile_buckets(
             tiling, hd, small, inv_dlnr=1.0 / float(dlnr),
-            lnDa=np.log(hd["D"] * np.asarray(rscale) / hd["a"]))
+            lnDa=np.log(hd["D"] * np.asarray(rscale) / hd["a"]),
+            grids=[(float(ln_r0), 1.0 / float(dlnr),
+                    int(curves.shape[1]))])
 
         pkey = ("tilepack", "displace", id(self.HaloLightConeCatalog))
         if pkey not in self._compiled:
@@ -1478,7 +1504,9 @@ class PaintProfilesShell(DefaultRunner):
         small = np.zeros(hd["radius"].shape[0], dtype=bool)
         buckets = self._get_tile_buckets(
             tiling, hd, small, inv_dlnr=1.0 / float(dlnr),
-            lnDa=np.log(hd["D"] / hd["a"]))
+            lnDa=np.log(hd["D"] / hd["a"]),
+            grids=[(float(ln_r0), 1.0 / float(dlnr),
+                    int(curves.shape[1]))])
 
         pkey = ("tilepack", "paint", id(self.HaloLightConeCatalog),
                 bool(self.include_pixel_size), log_curves)
@@ -1726,7 +1754,11 @@ class PaintProfilesAnisShell(DefaultRunner):
         buckets = self._get_tile_buckets(
             tiling, hd, small,
             inv_dlnr=(1.0 / float(dlnr_p), 1.0 / float(dlnr_t)),
-            lnDa=np.log(hd["D"] / hd["a"]))
+            lnDa=np.log(hd["D"] / hd["a"]),
+            grids=[(float(ln_r0_p), 1.0 / float(dlnr_p),
+                    int(pc.shape[1])),
+                   (float(ln_r0_t), 1.0 / float(dlnr_t),
+                    int(tc.shape[1]))])
         both_log = log_pair[0] and log_pair[1]
 
         pkey = ("tilepack", "paint2", id(self.HaloLightConeCatalog),

@@ -614,6 +614,115 @@ def bucket_tiles_binned(far, n_c, h_align=8):
     return out
 
 
+def classify_tile_windows(tiling, tile_ids, halo_ids, vh, chord_rad,
+                          lnDa, grids, classes=(16, 24, 32, 48),
+                          slack=3.0):
+    """Per-TILE static window classes for the windowed curve sweep.
+
+    The (tile, radial-bin) far/near split (:func:`refine_pairs` +
+    :func:`bucket_tiles_binned`) cuts sweep ops but FRAGMENTS rows:
+    each tile's pairs scatter over several (far-bin, near) rows, and
+    with per-tile counts of only a few pairs the h_align=8 padding more
+    than eats the win (measured: 0.45M padded pairs vs 0.28M full at
+    NSIDE=1024/20k halos). This classifier instead keeps every tile's
+    pairs in ONE row — identical row membership and padding to the full
+    sweep — and picks the narrowest static window class the WHOLE tile
+    fits, so the sweep is strictly cheaper wherever a class applies.
+
+    ``grids`` is a sequence of ``(ln_r0, inv_dlnr, n_r)`` lookup grids
+    sharing the pair's ln-radius coordinate (paint2 passes two). For
+    each tile the per-grid window start is predicted with the device
+    kernel's own formula (``clo = clip(floor((y_min - ln_r0) * inv) -
+    1, 0, n_r - n_c)`` with ``y_min = min ln(dcen - crad) + lnDa`` in
+    the same f32 geometry), and a class ``C`` (expressed in
+    coarsest-grid cells, the :func:`window_tags` convention) is
+    eligible when every grid's used lookup range fits its window with
+    ``slack`` cells to spare (host/device f32 rounding near the chord
+    cancellation limit costs up to ~1.5 cells).
+
+    Returns an int8 array over PAIRS: the index into ``classes`` of the
+    tile's chosen class, or ``len(classes)`` for tiles that need the
+    full sweep.
+    """
+    vh = np.asarray(vh, np.float32)
+    crad = tiling.tile_crad.astype(np.float32)[tile_ids]
+    d = tiling.tile_center.astype(np.float32)[tile_ids] - vh[halo_ids]
+    dcen = np.sqrt(np.einsum("ij,ij->i", d, d))
+    lnDa_p = np.asarray(lnDa, np.float32)[halo_ids]
+    y_lo = np.log(np.maximum(dcen - crad, 1e-30)) + lnDa_p
+    y_hi = np.log(dcen + crad) + lnDa_p
+
+    order = np.argsort(tile_ids.astype(np.int64), kind="stable")
+    ts = tile_ids[order]
+    if ts.size == 0:
+        return np.zeros(0, np.int8)
+    bnd = np.empty(ts.size, dtype=bool)
+    bnd[0] = True
+    np.not_equal(ts[1:], ts[:-1], out=bnd[1:])
+    starts = np.flatnonzero(bnd)
+    t_min_lo = np.minimum.reduceat(y_lo[order], starts)
+    t_max_hi = np.maximum.reduceat(y_hi[order], starts)
+
+    grids = [(float(g[0]), float(g[1]), int(g[2])) for g in grids]
+    maxinv = max(g[1] for g in grids)
+    n_ut = starts.size
+    cls_u = np.full(n_ut, len(classes), dtype=np.int8)
+    for ci, C in enumerate(classes):
+        ok = np.ones(n_ut, dtype=bool)
+        for ln_r0, inv, nr in grids:
+            nc = int(np.ceil((C - 4) / maxinv * inv)) + 4  # window_tags
+            if nc >= nr:
+                continue                   # whole grid fits the window
+            X_lo = (t_min_lo - ln_r0) * inv
+            X_hi = (t_max_hi - ln_r0) * inv
+            a = np.clip(np.floor(X_lo) - 1, 0, nr - nc)
+            ok &= np.minimum(X_hi, nr - 1) <= a + nc - 1 - slack
+        assign = ok & (cls_u == len(classes))
+        cls_u[assign] = ci
+    # map per-tile class back to pairs (in the caller's pair order)
+    tile_group = np.cumsum(bnd) - 1         # group id per sorted pair
+    cls_pairs = np.empty(ts.size, np.int8)
+    cls_pairs[order] = cls_u[tile_group]
+    return cls_pairs
+
+
+def bucket_tiles_classed(tile_ids, halo_ids, cls_pairs, invs,
+                         classes=(16, 24, 32, 48), h_align=8,
+                         min_frac=0.05):
+    """Bucket pairs per tile-window class (:func:`classify_tile_windows`).
+
+    Each class partition holds WHOLE tiles, so rows are the same
+    per-tile halo lists the full sweep would build — just tagged with
+    the class's static window width(s) from :func:`window_tags`. Pairs
+    classed ``len(classes)`` get untagged full-sweep buckets.
+
+    Classes holding fewer than ``min_frac`` of all pairs fold into the
+    full sweep: each class partition costs ~2-3 extra kernel dispatches
+    per call (a blocking RPC each on tunnelled backends) plus a compile
+    variant, which a sliver of swept-op savings cannot repay.
+    """
+    cls_pairs = np.asarray(cls_pairs).copy()
+    n_all = max(cls_pairs.size, 1)
+    for ci in range(len(classes)):
+        sel = cls_pairs == ci
+        if 0 < sel.sum() < min_frac * n_all:
+            cls_pairs[sel] = len(classes)
+    out = []
+    for ci, C in enumerate(classes):
+        sel = cls_pairs == ci
+        if not sel.any():
+            continue
+        tag = window_tags(invs, C)
+        for t, h in bucket_tiles(tile_ids[sel], halo_ids[sel],
+                                 h_align=h_align):
+            out.append((t, h, tag))
+    sel = cls_pairs == len(classes)
+    if sel.any():
+        out += bucket_tiles(tile_ids[sel], halo_ids[sel],
+                            h_align=h_align)
+    return out
+
+
 def window_tags(invs, n_c=24):
     """Static window width(s) for the windowed sweep's far buckets.
 

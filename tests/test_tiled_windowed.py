@@ -168,3 +168,93 @@ def test_tile_crad_bounds_all_slot_pixels():
     chord = np.sqrt((d * d).sum(-1))
     chord = np.where(np.asarray(valid), chord, 0.0)
     assert (chord.max(axis=(1, 2)) <= tiling.tile_crad + 1e-12).all()
+
+
+def _classed_buckets(tiling, t_ids, h_ids, vh, chord_rad, lnDa, grids):
+    far, near = T.refine_pairs(tiling, t_ids, h_ids, vh, chord_rad,
+                               inv_dlnr=None, lnDa=None)
+    tk, hk = near
+    cls = T.classify_tile_windows(tiling, tk, hk, vh, chord_rad, lnDa,
+                                  grids)
+    assert (cls < len((16, 24, 32, 48))).any()  # some tile got a class
+    # min_frac=0: keep even sliver classes so the windowed kernel is
+    # actually exercised at this tiny test scale
+    return T.bucket_tiles_classed(tk, hk.astype(np.int64), cls,
+                                  tuple(g[1] for g in grids),
+                                  min_frac=0.0)
+
+
+@pytest.mark.parametrize("mode", ["displace", "paint"])
+def test_tile_window_class_matches_full(mode):
+    """Per-tile window classes (classify_tile_windows +
+    bucket_tiles_classed) == full sweep, exact to f32 rounding."""
+    tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids) = _setup()
+    ln_r0 = float(np.log(1e-3))
+    inv = float((N_R - 1) / np.log(6e4))
+    run = T.make_tile_deposit(tiling, N_R, mode=mode)
+    full = _accumulate(tiling, run, T.bucket_tiles(
+        t_ids, h_ids.astype(np.int64)), pack, ln_r0, inv)
+    classed = _classed_buckets(tiling, t_ids, h_ids, vh, chord_rad,
+                               lnDa, [(ln_r0, inv, N_R)])
+    got = _accumulate(tiling, run, classed, pack, ln_r0, inv)
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(got, full, rtol=0, atol=3e-6 * scale)
+
+
+def test_tile_window_class_matches_full_paint2():
+    tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids) = _setup(n=150)
+    n_r2 = 32
+    rng = np.random.default_rng(11)
+    pack = dict(pack)
+    pack["curves2"] = jnp.asarray(
+        rng.normal(0, 1, (pack["curves"].shape[0], n_r2)).cumsum(1)
+        * 1e-3, dtype=jnp.float32)
+    ln_r0 = float(np.log(1e-3))
+    inv = float((N_R - 1) / np.log(6e4))
+    inv2 = float((n_r2 - 1) / np.log(6e4))
+    ln_r0_2 = float(np.log(2e-3))
+    pack["ln_r0_2"] = jnp.asarray(ln_r0_2, dtype=jnp.float32)
+    pack["inv_dlnr_2"] = jnp.asarray(inv2, dtype=jnp.float32)
+    run = T.make_tile_deposit(tiling, N_R, mode="paint2", n_r2=n_r2)
+    full = _accumulate(tiling, run, T.bucket_tiles(
+        t_ids, h_ids.astype(np.int64)), pack, ln_r0, inv)
+    classed = _classed_buckets(
+        tiling, t_ids, h_ids, vh, chord_rad, lnDa,
+        [(ln_r0, inv, N_R), (ln_r0_2, inv2, n_r2)])
+    got = _accumulate(tiling, run, classed, pack, ln_r0, inv)
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(got, full, rtol=0, atol=3e-6 * scale)
+
+
+def test_tile_window_class_covers_used_range():
+    """Host-side proof of the class contract: for every classed tile,
+    the device's own window-start formula leaves every pair's USED
+    lookup range inside the window (with the bracket cell)."""
+    tiling, vh, chord_rad, lnDa, pack, (t_ids, h_ids) = _setup()
+    ln_r0 = float(np.log(1e-3))
+    inv = float((N_R - 1) / np.log(6e4))
+    far, near = T.refine_pairs(tiling, t_ids, h_ids, vh, chord_rad,
+                               inv_dlnr=None, lnDa=None)
+    tk, hk = near
+    classes = (16, 24, 32, 48)
+    cls = T.classify_tile_windows(tiling, tk, hk, vh, chord_rad, lnDa,
+                                  [(ln_r0, inv, N_R)], classes=classes)
+    crad = tiling.tile_crad.astype(np.float32)[tk]
+    d = (tiling.tile_center.astype(np.float32)[tk]
+         - vh.astype(np.float32)[hk])
+    dcen = np.sqrt(np.einsum("ij,ij->i", d, d))
+    y_lo = (np.log(np.maximum(dcen - crad, 1e-20))
+            + lnDa.astype(np.float32)[hk])
+    y_hi = np.log(dcen + crad) + lnDa.astype(np.float32)[hk]
+    for ci, C in enumerate(classes):
+        sel = cls == ci
+        if not sel.any():
+            continue
+        nc = min(C, N_R)
+        for t in np.unique(tk[sel]):
+            m = sel & (tk == t)
+            y_min = y_lo[m].min()      # device formula, same f32 inputs
+            clo = np.clip(np.floor((y_min - ln_r0) * inv) - 1, 0,
+                          N_R - nc)
+            x_hi = (y_hi[m] - ln_r0) * inv
+            assert np.minimum(x_hi, N_R - 1).max() <= clo + nc - 1

@@ -92,6 +92,15 @@ def main():
         T.window_tags(inv, args.nc))
     win_buckets = far_b + T.bucket_tiles(near[0],
                                          near[1].astype(np.int64))
+    # per-tile window classes: same rows/padding as full, narrower sweep
+    kt = np.concatenate([far[0], near[0]])
+    kh = np.concatenate([far[1], near[1]])
+    cls = T.classify_tile_windows(tiling, kt, kh, vh, chord_rad,
+                                  np.log(D), [(ln_r0, inv, n_r)])
+    cls_buckets = T.bucket_tiles_classed(kt, kh.astype(np.int64), cls,
+                                         (inv,))
+    ncls = [int((cls == i).sum()) for i in range(5)]
+    print(f"# class pair split (16/24/32/48/full): {ncls}")
 
     def npairs(buckets):
         return sum(b[0].size * b[1].shape[1] for b in buckets)
@@ -103,6 +112,7 @@ def main():
         far_full = [(t, h) for (t, h, _) in far_b]
         for path, buckets in (("full", full_buckets),
                               ("windowed", win_buckets),
+                              ("classed", cls_buckets),
                               ("faronly-full", far_full),
                               ("faronly-win", far_b)):
             if path not in args.paths.split(","):
@@ -128,8 +138,7 @@ def main():
                   f"nside={args.nside}: {best * 1e3:8.1f} ms  "
                   f"{pe / best / 1e9:6.2f} G pair-evals/s "
                   f"({npairs(buckets) / 1e6:.1f} M padded pairs)")
-        if args.check and (mode, "full") in results \
-                and (mode, "windowed") in results:
+        if args.check and (mode, "full") in results:
             def tot(key):
                 _, buckets, outs = results[key]
                 trail = outs[0].shape[2:] if outs[0].ndim > 2 else ()
@@ -137,10 +146,14 @@ def main():
                 for b, o in zip(buckets, outs):
                     np.add.at(acc, b[0], np.asarray(o, np.float64))
                 return acc
-            a, b = tot((mode, "full")), tot((mode, "windowed"))
+            a = tot((mode, "full"))
             scale = np.abs(a).max() or 1.0
-            print(f"          max |windowed - full| / max|full| = "
-                  f"{np.abs(a - b).max() / scale:.3e}")
+            for other in ("windowed", "classed"):
+                if (mode, other) not in results:
+                    continue
+                b = tot((mode, other))
+                print(f"          max |{other} - full| / max|full| = "
+                      f"{np.abs(a - b).max() / scale:.3e}")
 
 
 if __name__ == "__main__":
