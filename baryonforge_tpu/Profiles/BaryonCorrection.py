@@ -182,6 +182,8 @@ class BaryonificationClass:
         self._axes = tuple(axes)
         self._table = jnp.asarray(d_interp)
         self.Rdelta_sampling = Rdelta_sampling
+        # new table content -> new identity token (runner cache re-key)
+        vars(self).pop("_bfg_token", None)
         return self
 
     # ------------------------------------------------------------------
@@ -220,6 +222,8 @@ class BaryonificationClass:
             axes.append(jnp.asarray(v))
         self._axes = tuple(axes)
         self._table = jnp.asarray(self.raw_input_d)
+        # new table content -> new identity token (runner cache re-key)
+        vars(self).pop("_bfg_token", None)
         return self
 
     def with_dtype(self, dtype):

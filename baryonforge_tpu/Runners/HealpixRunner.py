@@ -23,6 +23,8 @@ The mass-conservation tripwire (sum(new) == sum(old),
 HealpixRunner.py:367-370) is kept as a host-side check.
 """
 
+import hashlib
+import itertools
 import time
 from functools import partial
 import numpy as np
@@ -36,6 +38,26 @@ from ..ops import healpix as hpx
 
 __all__ = ["DefaultRunner", "BaryonifyShell", "PaintProfilesShell",
            "PaintProfilesAnisShell"]
+
+_OBJ_TOKENS = itertools.count()
+
+
+def object_token(obj):
+    """GC-safe identity token for cache keys: a monotone counter stamped
+    on the object. ``id()`` values recur once an object is garbage
+    collected (the classic stale-cache aliasing), a counter attribute
+    cannot — a new object at the same address simply lacks the attribute
+    and receives a fresh count. Table-rebuilding methods
+    (``setup_interpolator`` / ``load_table``) pop the attribute, so a
+    model whose table content changed re-keys automatically."""
+    tok = getattr(obj, "_bfg_token", None)
+    if tok is None:
+        tok = next(_OBJ_TOKENS)
+        try:
+            obj._bfg_token = tok
+        except (AttributeError, TypeError):
+            tok = ("id", id(obj))          # attr-less objects: best effort
+    return tok
 
 
 class DefaultRunner:
@@ -109,12 +131,60 @@ class DefaultRunner:
         (reference HealpixRunner.py:212-232)."""
         return np.vstack([np.asarray(a).flatten() for a in args]).T
 
+    # ---- content tokens for data-derived caches ----------------------
+    # Caches used to key on id(catalog)/id(map), which (a) recurs after
+    # garbage collection and (b) misses in-place mutation. Every
+    # process() call refreshes these tokens (_refresh_tokens), so a
+    # mutated catalog/map/model simply re-prepares.
+    def _catalog_token(self):
+        """Content digest (hex) of the halo catalog columns (~40 ms per
+        1e6 halos — the structured array is one contiguous buffer)."""
+        cat = self.HaloLightConeCatalog.cat
+        return hashlib.blake2b(np.ascontiguousarray(cat).tobytes(),
+                               digest_size=16).hexdigest()
+
+    def _map_token(self):
+        """Content digest (hex) of the shell map: exact float64 sum plus
+        a 1/16-strided byte sample (hashing the full 0.8 GB NSIDE=4096
+        buffer every call would cost ~1 s; the sample catches any
+        realistic in-place edit, and mutations invisible to BOTH the sum
+        and the sample can be forced out with :meth:`invalidate`)."""
+        m = np.asarray(self.LightconeShell.map)
+        dg = hashlib.blake2b(digest_size=16)
+        dg.update(np.ascontiguousarray(m[::16]).tobytes())
+        dg.update(repr((m.shape, str(m.dtype),
+                        float(m.sum(dtype=np.float64)))).encode())
+        return dg.hexdigest()
+
+    def _refresh_tokens(self, need_map=True):
+        self._cat_tok = self._catalog_token()
+        self._model_tok = object_token(self.model)
+        if need_map:
+            self._map_tok = self._map_token()
+
+    def invalidate(self):
+        """Drop every data-derived cache (prepared halo batches, tile
+        buckets, uploaded maps/curves, host prep). Compiled kernels are
+        kept. Not normally needed: process() re-keys on content digests
+        of the catalog and map and on the model's identity token each
+        call; this is the escape hatch for mutations those tokens cannot
+        see (e.g. a map edit invisible to both the sum and the strided
+        sample of :meth:`_map_token`)."""
+        drop = ("prepared", "tilebin", "tilepack", "hostprep", "origmap",
+                "orighost", "origtiled_val", "snapbatches", "snapradii")
+        for k in [k for k in self._compiled
+                  if isinstance(k, tuple) and k and k[0] in drop]:
+            del self._compiled[k]
+
     def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype):
         """Scan ``scan_fn`` over the batch axis, optionally sharded over
         the mesh's 'halos' axis with a psum reduction."""
 
+        # the scan body's closure bakes the model's table as constants:
+        # key on the model token so a swapped/rebuilt model recompiles
         key = (tuple((tuple(b.shape), str(b.dtype)) for b in batches),
-               tuple(acc_shape), str(acc_dtype), self.mesh is None)
+               tuple(acc_shape), str(acc_dtype), self.mesh is None,
+               self._model_tok)
         if key not in self._compiled:
             def local(batches_local, varying=False):
                 acc = jnp.zeros(acc_shape, dtype=acc_dtype)
@@ -197,12 +267,10 @@ class DefaultRunner:
         fut.timings = {}
         return fut
 
-    def _host_map(self, orig_map, rdt, host_sum):
+    def _host_map(self, rdt):
         """The cached host-side cast matching ``_device_map``'s upload
         (filled by _device_map; None if not yet uploaded)."""
-        return self._compiled.get(
-            ("orighost", id(self.LightconeShell.map), orig_map.nbytes,
-             str(rdt), float(host_sum)))
+        return self._compiled.get(("orighost", self._map_tok, str(rdt)))
 
     def _fetch_map(self, new_dev, base_dev=None, base_host=None):
         """Download a result map, sparsely when possible (ops/transfer).
@@ -293,7 +361,7 @@ class DefaultRunner:
         halos) skip the host-side bucketing and the host->device batch
         upload entirely.
         """
-        pkey = ("prepared", id(self.HaloLightConeCatalog), NSIDE,
+        pkey = ("prepared", self._cat_tok, self._model_tok, NSIDE,
                 hd["radius"].shape[0], float(hd["radius"].sum()),
                 len(extras), self._n_batch_multiple())
         if pkey in self._compiled:
@@ -451,8 +519,15 @@ class DefaultRunner:
                      tuple((round(float(g[0]), 9), round(float(g[1]), 9),
                             int(g[2])) for g in grids))
         inv_key = None if invs is None else tuple(np.round(invs, 9))
-        lnDa_key = None if lnDa is None else round(float(np.sum(lnDa)), 6)
-        bkey = ("tilebin", id(self.HaloLightConeCatalog), tiling.nside,
+        # lnDa keyed by CONTENT: two different per-halo lnDa vectors with
+        # equal sums (e.g. a non-uniform rscale change in a parameter
+        # sweep) must not reuse window-classed buckets built for the
+        # other — a mis-classed window silently zeroes far-field
+        # contributions rather than erroring
+        lnDa_key = None if lnDa is None else hashlib.blake2b(
+            np.ascontiguousarray(np.asarray(lnDa, np.float64)).tobytes(),
+            digest_size=8).hexdigest()
+        bkey = ("tilebin", self._cat_tok, tiling.nside,
                 radius.shape[0], float(radius.sum()), inv_key, lnDa_key,
                 n_c, grids_key)
         if bkey in self._compiled:
@@ -462,7 +537,6 @@ class DefaultRunner:
         cache_dir = os.environ.get("BFG_CACHE_DIR")
         path, buckets = None, None
         if cache_dir:
-            import hashlib
             dg = hashlib.blake2b(digest_size=16)
             dg.update(np.int64(tiling.nside).tobytes())
             dg.update(repr((inv_key, lnDa_key, n_c,
@@ -721,7 +795,7 @@ class BaryonifyShell(DefaultRunner):
             grids=[(float(ln_r0), 1.0 / float(dlnr),
                     int(curves.shape[1]))])
 
-        pkey = ("tilepack", "displace", id(self.HaloLightConeCatalog))
+        pkey = ("tilepack", "displace", self._cat_tok, self._model_tok)
         if pkey not in self._compiled:
             pack = self._tile_base_pack(hd, extra_lnscale=rscale)
             pack["afac"] = jnp.asarray(hd["a"]).astype(self.dtype)
@@ -831,11 +905,10 @@ class BaryonifyShell(DefaultRunner):
         if okey not in self._compiled:
             self._compiled[okey] = jax.jit(
                 lambda m: tiling.tile_view(m.astype(rdt)))
-        # content-guarded like _device_map's ('origmap', ..., host_sum)
-        # key: in-place map mutation between process() calls must not
-        # reuse a stale tiled original
-        otkey = ("origtiled_val", id(self.LightconeShell.map),
-                 float(host_sum))
+        # content-token-guarded like _device_map's 'origmap' key:
+        # in-place map mutation between process() calls must not reuse a
+        # stale tiled original
+        otkey = ("origtiled_val", self._map_tok, str(rdt))
         if otkey not in self._compiled:
             for k in [k for k in self._compiled
                       if k[0] == "origtiled_val"]:
@@ -1004,6 +1077,7 @@ class BaryonifyShell(DefaultRunner):
         """Warm, blocked per-dispatch timings of the stencil phase B
         (diagnostics; tools/stencil_bench.py). Requires a prior
         process() call (warm caches). Returns a dict of seconds."""
+        self._refresh_tokens()
         hkey = next(k for k in self._compiled if k[0] == "hostprep")
         hd, extras, curve_meta = self._compiled[hkey]
         old_sum = float(np.asarray(self.LightconeShell.map,
@@ -1020,7 +1094,7 @@ class BaryonifyShell(DefaultRunner):
         # pieces of _regrid_stencil, timed per dispatch
         combo = self._compiled[("stencilrun", NSIDE, str(rdt),
                                 self.mesh is None)]
-        otkey = ("origtiled_val", id(self.LightconeShell.map), old_sum)
+        otkey = ("origtiled_val", self._map_tok, str(rdt))
         orig_tiled = self._compiled[otkey]
         for rep in range(2):
             t0 = time.time()
@@ -1245,9 +1319,9 @@ class BaryonifyShell(DefaultRunner):
         3-6 s per call, and repeated baryonify/paint passes over the same
         shell are common. The map is shipped in the regrid dtype (the
         kernels consume ``orig.astype(rdt)`` anyway), halving the bytes in
-        float32. Keyed by (id, nbytes, sum) so mutated maps re-upload."""
-        key = ("origmap", id(self.LightconeShell.map), orig_map.nbytes,
-               str(rdt), float(host_sum))
+        float32. Keyed by the map content token so mutated maps
+        re-upload (see _map_token)."""
+        key = ("origmap", self._map_tok, str(rdt))
         if key not in self._compiled:
             # drop stale uploads of other shells to cap device memory
             for k in [k for k in self._compiled
@@ -1272,6 +1346,7 @@ class BaryonifyShell(DefaultRunner):
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
         t_start = time.time()
+        self._refresh_tokens()
 
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
@@ -1280,8 +1355,7 @@ class BaryonifyShell(DefaultRunner):
             return self._done_future(orig_map)
 
         keys = self._model_p_keys()
-        hkey = ("hostprep", id(self.HaloLightConeCatalog),
-                len(self.HaloLightConeCatalog.cat["M"]))
+        hkey = ("hostprep", self._cat_tok, self._model_tok)
         if hkey in self._compiled:
             hd, extras, curve_meta = self._compiled[hkey]
         else:
@@ -1313,8 +1387,7 @@ class BaryonifyShell(DefaultRunner):
                                     return_acc=True),
                 orig_dev, host_sum=old_sum)
             return self._submit_fetch(new_dev, t_start, orig_dev,
-                                      self._host_map(orig_map, rdt,
-                                                     old_sum),
+                                      self._host_map(rdt),
                                       conserve_sum=old_sum)
 
         if use_tiles:
@@ -1339,7 +1412,7 @@ class BaryonifyShell(DefaultRunner):
         return self._submit_fetch(
             self._regrid(NSIDE, npix, rdt, ang_base, pix_offsets,
                          orig_dev),
-            t_start, orig_dev, self._host_map(orig_map, rdt, old_sum),
+            t_start, orig_dev, self._host_map(rdt),
             conserve_sum=old_sum)
 
     def build_step(self):
@@ -1396,6 +1469,7 @@ class PaintProfilesShell(DefaultRunner):
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
         t_start = time.time()
+        self._refresh_tokens(need_map=False)   # paint ignores map values
 
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
@@ -1508,7 +1582,7 @@ class PaintProfilesShell(DefaultRunner):
             grids=[(float(ln_r0), 1.0 / float(dlnr),
                     int(curves.shape[1]))])
 
-        pkey = ("tilepack", "paint", id(self.HaloLightConeCatalog),
+        pkey = ("tilepack", "paint", self._cat_tok, self._model_tok,
                 bool(self.include_pixel_size), log_curves)
         if pkey not in self._compiled:
             pack = self._tile_base_pack(hd)
@@ -1583,6 +1657,7 @@ class PaintProfilesAnisShell(DefaultRunner):
         from ..utils.Tabulate import _get_parameter
         import warnings
         cosmo = cosmology_from_dict(self.cosmo)
+        self._refresh_tokens()
 
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
@@ -1761,7 +1836,8 @@ class PaintProfilesAnisShell(DefaultRunner):
                     int(tc.shape[1]))])
         both_log = log_pair[0] and log_pair[1]
 
-        pkey = ("tilepack", "paint2", id(self.HaloLightConeCatalog),
+        pkey = ("tilepack", "paint2", self._cat_tok, self._model_tok,
+                object_token(self.Tracer_model),
                 bool(self.include_pixel_size), log_pair)
         if pkey not in self._compiled:
             pack = self._tile_base_pack(hd)

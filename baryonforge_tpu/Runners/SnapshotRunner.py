@@ -11,6 +11,8 @@ TPU-native analog of SplitJoinParallel). Minimum-image convention
 throughout.
 """
 
+import hashlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +20,7 @@ from scipy.spatial import cKDTree
 
 from ..cosmo import massdef as _massdef
 from ..ops import compat
+from .HealpixRunner import object_token
 
 __all__ = ["DefaultRunnerSnapshot", "BaryonifySnapshot"]
 
@@ -64,6 +67,24 @@ class DefaultRunnerSnapshot:
     def _model_p_keys(self):
         return list(vars(self.model).get("p_keys", []))
 
+    def _catalog_token(self):
+        """Content digest (hex) of the halo catalog. Keying data caches
+        on id(cat) aliases once the old catalog is garbage collected and
+        misses in-place mutation; the content hash closes both. Particle
+        coords are copied at construction, so the snapshot needs no
+        token (a new runner is required to change particles)."""
+        return hashlib.blake2b(
+            np.ascontiguousarray(self.HaloNDCatalog.cat).tobytes(),
+            digest_size=16).hexdigest()
+
+    def invalidate(self):
+        """Drop the cached radii / neighbour batches (see
+        DefaultRunner.invalidate; rarely needed — process() re-keys on a
+        catalog content digest each call)."""
+        for k in [k for k in self._compiled if isinstance(k, tuple)
+                  and k and k[0] in ("snapradii", "snapbatches")]:
+            del self._compiled[k]
+
 
 class BaryonifySnapshot(DefaultRunnerSnapshot):
     """Displace particles around each halo
@@ -82,9 +103,11 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         coords = self._coords            # (n_part, ndim)
 
         cat = self.HaloNDCatalog.cat
+        cat_tok = self._catalog_token()
+        model_tok = object_token(self.model)
         a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
         M = np.asarray(cat["M"], dtype=float)
-        rkey = ("snapradii", id(cat), float(a))
+        rkey = ("snapradii", cat_tok, float(a), self.mass_def.name)
         if rkey not in self._compiled:
             R = np.asarray(jax.jit(lambda M, a: self.mass_def.get_radius(
                 cosmo, M, a))(M, a))   # jit: eager axon dispatch ~55 s/op
@@ -145,7 +168,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         # by every subsequent process() call (same pattern as the shell
         # runner's cached tile buckets).
         ndev = 1 if self.mesh is None else self.mesh.devices.size
-        bkey = ("snapbatches", id(cat), n_part, float(np.sum(R_q)),
+        bkey = ("snapbatches", cat_tok, n_part, float(np.sum(R_q)),
                 self.n_size_buckets, self.halo_batch, ndev, tuple(keys))
         batches = self._compiled.get(bkey)
         if batches is None:
@@ -162,7 +185,11 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                                                      R_q)
                 counts = np.array([len(x) for x in neigh2d],
                                   dtype=np.int64)
-            assert n_part < np.iinfo(np.int32).max  # int32 indices
+            if n_part >= np.iinfo(np.int32).max:
+                # a stripped assert (python -O) would let int32 neighbour
+                # indices wrap and scatter displacements silently wrong
+                raise ValueError(
+                    f"n_part={n_part} exceeds int32 neighbour indexing")
             # bucket halos by neighbour count; each bucket re-queries
             # the cell list with ITS OWN pad (counts are exact, so no
             # truncation)
@@ -220,8 +247,10 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         acc = jnp.zeros((n_part + 1, ndim), dtype=dt)
         for K, nb, B, batch in batches:
             body = make_step(K)
+            # the scan body bakes the model's table as jit constants:
+            # key on the model token so a swapped model recompiles
             kkey = ("snapstep", K, nb, B, ndim, len(extras),
-                    self.mesh is None)
+                    self.mesh is None, model_tok)
             if kkey not in self._compiled:
                 if self.mesh is None:
                     def run(acc_in, batch):

@@ -151,9 +151,11 @@ class SkyTiling:
 
     @property
     def center_sincos(self):
-        """(n_tiles, 4) host f64: sin/cos of the tile-center colatitude
-        and azimuth [sin th_c, cos th_c, sin ph_c, cos ph_c] —
-        consistent with ``tile_center``. Used by :meth:`slot_local`."""
+        """(n_tiles, 5) host f64: sin/cos of the tile-center colatitude
+        and azimuth plus the raw azimuth,
+        [sin th_c, cos th_c, sin ph_c, cos ph_c, ph_c] — consistent with
+        ``tile_center``. Used by :meth:`slot_local` (which consumes the
+        trailing ph_c as csc_t[4] for the wrapped azimuth offset)."""
         if getattr(self, "_csc", None) is None:
             th_c = np.arccos(np.clip(self.tile_center[:, 2], -1, 1))
             ph_c = 2.0 * np.pi * (self.tile_s + 0.5) / self.tile_S

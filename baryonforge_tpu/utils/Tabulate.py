@@ -95,6 +95,8 @@ class TabulatedProfile:
                       jnp.asarray(self.raw_input_r_range))
         self._tab3D = jnp.asarray(self.raw_input_3D)
         self._tab2D = jnp.asarray(self.raw_input_2D)
+        # new table content -> new identity token (runner cache re-key)
+        vars(self).pop("_bfg_token", None)
         return self
 
     def _readout(self, table, r, M, a):
@@ -153,6 +155,8 @@ class TabulatedProfile:
                       jnp.asarray(self.raw_input_r_range))
         self._tab3D = jnp.asarray(self.raw_input_3D)
         self._tab2D = jnp.asarray(self.raw_input_2D)
+        # new table content -> new identity token (runner cache re-key)
+        vars(self).pop("_bfg_token", None)
         return self
 
     # curves are LOG values (tables store log; runners exp via curve_lookup)
@@ -246,6 +250,8 @@ class ParamTabulatedProfile:
         # keep raw values (no log) for robustness with extra axes
         self._tab3D = jnp.asarray(tab3D)
         self._tab2D = jnp.asarray(tab2D)
+        # new table content -> new identity token (runner cache re-key)
+        vars(self).pop("_bfg_token", None)
         return self
 
     def _readout(self, table, r, M, a, **kwargs):
