@@ -25,6 +25,7 @@ HealpixRunner.py:367-370) is kept as a host-side check.
 
 import hashlib
 import itertools
+import os
 import time
 from functools import partial
 import numpy as np
@@ -176,15 +177,18 @@ class DefaultRunner:
                   if isinstance(k, tuple) and k and k[0] in drop]:
             del self._compiled[k]
 
-    def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype):
+    def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype,
+                         extra_key=None):
         """Scan ``scan_fn`` over the batch axis, optionally sharded over
         the mesh's 'halos' axis with a psum reduction."""
 
         # the scan body's closure bakes the model's table as constants:
         # key on the model token so a swapped/rebuilt model recompiles
+        # (extra_key lets callers add further baked-constant identities,
+        # e.g. the Anis fallback's captured Mtot/orig device maps)
         key = (tuple((tuple(b.shape), str(b.dtype)) for b in batches),
                tuple(acc_shape), str(acc_dtype), self.mesh is None,
-               self._model_tok)
+               self._model_tok, extra_key)
         if key not in self._compiled:
             def local(batches_local, varying=False):
                 acc = jnp.zeros(acc_shape, dtype=acc_dtype)
@@ -218,6 +222,8 @@ class DefaultRunner:
         t0 = time.time()
         out = self._fetch_map(out_dev, base_dev, base_host)
         timings["transfer_s"] = time.time() - t0
+        timings["transfer_mb"] = round(
+            getattr(self, "_last_fetch_mb", 0.0), 1)
         self.timings = timings
         return out
 
@@ -230,6 +236,53 @@ class DefaultRunner:
                                     thread_name_prefix="bfg-fetch")
             self._compiled["fetch_executor"] = ex
         return ex
+
+    def _dispatch_executor(self):
+        """Single-worker thread pool for the per-call compute dispatch.
+
+        On tunnelled backends every bucket dispatch is a blocking RPC
+        that queues behind the fetch thread's downloads; running the
+        dispatch loop synchronously inside process_async() made each
+        call's wall time = its own RPC queueing (BENCH_r04 recorded
+        15 s/call of 'compute' that was 0.44 s of device work). With a
+        dedicated dispatch thread, process_async() returns immediately
+        and N pipelined calls cost max(total dispatch, total fetch)
+        instead of interleaving serially."""
+        ex = self._compiled.get("dispatch_executor")
+        if ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="bfg-dispatch")
+            self._compiled["dispatch_executor"] = ex
+        return ex
+
+    def _async_via_dispatch(self, dispatch_fn):
+        """Run ``dispatch_fn() -> Future`` on the dispatch thread and
+        return a proxy Future that resolves with the inner (fetch)
+        future's result — so compute dispatch AND result download both
+        stay off the caller's thread."""
+        from concurrent.futures import Future
+        outer = Future()
+        outer.timings = {}
+
+        def run():
+            try:
+                inner = dispatch_fn()
+            except BaseException as e:          # noqa: BLE001
+                outer.set_exception(e)
+                return
+
+            def done(f):
+                outer.timings.update(getattr(f, "timings", {}))
+                exc = f.exception()
+                if exc is not None:
+                    outer.set_exception(exc)
+                else:
+                    outer.set_result(f.result())
+            inner.add_done_callback(done)
+
+        self._dispatch_executor().submit(run)
+        return outer
 
     def _submit_fetch(self, out_dev, t_start, base_dev=None,
                       base_host=None, conserve_sum=None):
@@ -281,6 +334,7 @@ class DefaultRunner:
         from ..ops.transfer import SparseMapFetcher, multistream_get
         npix = new_dev.shape[0]
         if base_dev is not None and base_host is None:
+            self._last_fetch_mb = npix * new_dev.dtype.itemsize / 1e6
             return multistream_get(new_dev, np.float64)
         # block sized so the bitmap stays ~1e3-1e4 entries; any HEALPix
         # npix = 12*nside^2 with nside >= 8 divides by 768
@@ -290,10 +344,39 @@ class DefaultRunner:
             fkey = ("sparsefetch", npix, block)
             if fkey not in self._compiled:
                 self._compiled[fkey] = SparseMapFetcher(npix, block=block)
-            return self._compiled[fkey].fetch(new_dev, base_dev,
-                                              base_host)
+            fx = self._compiled[fkey]
+            out = fx.fetch(new_dev, base_dev, base_host)
+            st = fx.last_stats
+            dense = st["frac"] > fx.dense_threshold
+            self._last_fetch_mb = (npix * new_dev.dtype.itemsize / 1e6
+                                   if dense else st["mbytes"])
+            return out
+        self._last_fetch_mb = npix * new_dev.dtype.itemsize / 1e6
         return multistream_get(new_dev, np.float64)
 
+
+    def _device_map(self, orig_map, rdt, host_sum):
+        """Upload the shell map once per (content, dtype) and reuse the
+        device copy: over the axon tunnel a 100 MB float64 upload costs
+        3-6 s per call, and repeated baryonify/paint passes over the same
+        shell are common. The map is shipped in the regrid dtype (the
+        kernels consume ``orig.astype(rdt)`` anyway), halving the bytes in
+        float32. Keyed by the map content token so mutated maps
+        re-upload (see _map_token)."""
+        key = ("origmap", self._map_tok, str(rdt))
+        if key not in self._compiled:
+            # drop stale uploads of other shells to cap device memory
+            for k in [k for k in self._compiled
+                      if k[0] in ("origmap", "orighost")]:
+                del self._compiled[k]
+            host = orig_map.astype(
+                np.float64 if rdt == jnp.float64 else np.float32)
+            # the host-side cast is kept for the sparse result download:
+            # it is bitwise-identical to the device copy, so unchanged
+            # blocks never cross the link (ops/transfer.py)
+            self._compiled[("orighost",) + key[1:]] = host
+            self._compiled[key] = jnp.asarray(host)
+        return self._compiled[key]
 
     # ------------------------------------------------------------------
     def _host_halo_data(self, cosmo_jax):
@@ -325,6 +408,40 @@ class DefaultRunner:
     def _model_p_keys(self):
         return list(vars(self.model).get("p_keys", []))
 
+    def _jit_halo_curves(self, model, kind=None):
+        """(cached) jitted per-halo-curve builder, casting to self.dtype
+        INSIDE the jit. Re-jitting a fresh lambda per process() call
+        retraces every time, and an eager ``.astype`` afterwards is a
+        separate remote compile + RPC on the axon backend — both were
+        cold-warmup costs. Keyed by the model's identity token (so a
+        swapped/rebuilt model recompiles, see object_token)."""
+        dt = self.dtype
+        key = ("halo_curves_jit", object_token(model), kind, str(dt))
+        if key not in self._compiled:
+            m = model
+            if dt == jnp.float32 and hasattr(m, "with_dtype"):
+                m = m.with_dtype(dt)       # f32 table readout on device
+            kw = {} if kind is None else {"kind": kind}
+
+            def f(M, a, pkw):
+                c, ln_r0, dlnr = m.halo_curves(M, a, **kw, **pkw)
+                return c.astype(dt), ln_r0, dlnr
+
+            self._compiled[key] = jax.jit(f)
+        return self._compiled[key]
+
+    def _jit_curves_raw(self, model):
+        """(cached) jitted raw projected halo curves in the table's own
+        dtype — the Anis paths clamp/cast in their curveclamp kernels.
+        Keyed by the model identity token (see object_token)."""
+        key = ("halo_curves_raw_jit", object_token(model))
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda M, a, pkw: model.halo_curves(M, a,
+                                                    kind="projected",
+                                                    **pkw))
+        return self._compiled[key]
+
     def _padded_batches(self, arrays, batch):
         """Stack per-halo arrays into (n_batches, batch) with zero padding
         (n_batches padded to a multiple of the mesh size when sharded);
@@ -343,7 +460,7 @@ class DefaultRunner:
         return out, valid.reshape(nb, batch)
 
     def _bucketed_accumulate(self, make_body, hd, extras, acc_shape,
-                             acc_dtype, NSIDE):
+                             acc_dtype, NSIDE, extra_key=None):
         """Run the per-halo accumulation with halos bucketed by disc size.
 
         Static shapes force every halo in a batch to pay the largest disc's
@@ -379,7 +496,8 @@ class DefaultRunner:
                 import time as _time
                 t0 = _time.time()
             body = make_body(K_ring, K_phi)
-            acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype)
+            acc = self._scan_accumulate(body, batches, acc_shape,
+                                        acc_dtype, extra_key=extra_key)
             if self.verbose:
                 nb, bsz = batches[0].shape[:2]
                 print(f"[baryonforge] bucket {gi + 1}/{len(prepared)}: "
@@ -466,6 +584,28 @@ class DefaultRunner:
         if tkey not in self._compiled:
             self._compiled[tkey] = _tiles.SkyTiling(NSIDE)
         return self._compiled[tkey]
+
+    def _get_tile_run(self, tiling, n_r, mode, log_curves=False,
+                      n_r2=None):
+        """(cached) the tile-deposit kernel factory output. Decoupled
+        from the per-(catalog, model) data pack so warmup() can compile
+        kernel variants before the curves exist, and so a model swap
+        reuses the compiled kernels (shapes are model-independent)."""
+        from ..ops import tiles as _tiles
+        rkey = ("tilerun", tiling.nside, n_r, mode, log_curves, n_r2,
+                str(self.dtype), self.mesh is None)
+        if rkey not in self._compiled:
+            self._compiled[rkey] = _tiles.make_tile_deposit(
+                tiling, n_r, mode=mode, dtype=self.dtype,
+                log_curves=log_curves, mesh=self.mesh, n_r2=n_r2)
+        return self._compiled[rkey]
+
+    def _get_flat_gather(self, tiling, ndim):
+        """(cached jit) tile-major accumulator -> flat RING order."""
+        gkey = ("slotgather", tiling.nside, ndim)
+        if gkey not in self._compiled:
+            self._compiled[gkey] = jax.jit(tiling.flat_view)
+        return self._compiled[gkey]
 
     def _get_tile_buckets(self, tiling, hd, small, inv_dlnr=None,
                           lnDa=None, n_c=24, grids=None):
@@ -600,8 +740,14 @@ class DefaultRunner:
         return self._compiled[bkey]
 
     def _tile_base_pack(self, hd, extra_lnscale=None):
-        """Common per-halo device arrays for the tile kernels."""
-        dt = self.dtype
+        """Common per-halo device arrays for the tile kernels.
+
+        Casts run in NUMPY before the upload: an eager on-device
+        ``.astype`` is a separate remote compile + RPC per shape on the
+        axon backend (~30-60 s cold each — these were a visible slice of
+        the round-4 cold warmup); ``jnp.asarray`` of a host array is a
+        pure device_put."""
+        npdt = np.dtype(self.dtype)
         theta, phi, radius = hd["theta"], hd["phi"], hd["radius"]
         st, ct = np.sin(theta), np.cos(theta)
         vh = np.stack([st * np.cos(phi), st * np.sin(phi), ct], axis=1)
@@ -610,16 +756,13 @@ class DefaultRunner:
         if extra_lnscale is not None:
             lnDa = lnDa + np.log(extra_lnscale)
         return dict(vh=jnp.asarray(vh),
-                    crit2=jnp.asarray(sinr2 ** 2).astype(dt),
-                    lnDa=jnp.asarray(lnDa).astype(dt),
-                    invD=jnp.asarray(1.0 / hd["D"]).astype(dt))
+                    crit2=jnp.asarray((sinr2 ** 2).astype(npdt)),
+                    lnDa=jnp.asarray(lnDa.astype(npdt)),
+                    invD=jnp.asarray((1.0 / hd["D"]).astype(npdt)))
 
     def _tile_flat_gather(self, tiling, npix, acc):
         """(cached jit) tile-major accumulator -> flat RING-pixel order."""
-        gkey = ("slotgather", tiling.nside, acc.ndim)
-        if gkey not in self._compiled:
-            self._compiled[gkey] = jax.jit(tiling.flat_view)
-        return self._compiled[gkey](acc)
+        return self._get_flat_gather(tiling, acc.ndim)(acc)
 
     def _small_disc_mask(self, hd, NSIDE):
         """Halos whose discs are so small (< ~9 px) that the reference's
@@ -660,18 +803,14 @@ class BaryonifyShell(DefaultRunner):
         a host round trip costs tens of minutes over a tunnelled link).
         Scatter-path consumers that need host values slice the (small)
         subset they use first."""
-        model = self.model
-        if self.dtype == jnp.float32 and hasattr(model, "with_dtype"):
-            model = model.with_dtype(self.dtype)
-        # jit: eager axon dispatch is ~55 s/op at 1e5 halos
-        curves, ln_r0, dlnr = jax.jit(
-            lambda M, a, pkw: model.halo_curves(M, a, **pkw))(
+        # jit (cached): eager axon dispatch is ~55 s/op at 1e5 halos;
+        # the dtype cast happens inside the jit (see _jit_halo_curves)
+        curves, ln_r0, dlnr = self._jit_halo_curves(self.model)(
             hd["M"], hd["a"], self._p_key_kwargs())
         Rcom = hd["R"] / hd["a"]
-        rscale = (1.0 / Rcom if getattr(model, "Rdelta_sampling", False)
+        rscale = (1.0 / Rcom
+                  if getattr(self.model, "Rdelta_sampling", False)
                   else np.ones_like(Rcom))
-        if curves.dtype != self.dtype:
-            curves = curves.astype(self.dtype)
         return (curves, Rcom, rscale,
                 float(ln_r0), float(dlnr))
 
@@ -795,19 +934,19 @@ class BaryonifyShell(DefaultRunner):
             grids=[(float(ln_r0), 1.0 / float(dlnr),
                     int(curves.shape[1]))])
 
+        run = self._get_tile_run(tiling, int(curves.shape[1]), "displace")
         pkey = ("tilepack", "displace", self._cat_tok, self._model_tok)
         if pkey not in self._compiled:
             pack = self._tile_base_pack(hd, extra_lnscale=rscale)
-            pack["afac"] = jnp.asarray(hd["a"]).astype(self.dtype)
-            pack["curves"] = jnp.asarray(curves).astype(self.dtype)
-            run = _tiles.make_tile_deposit(tiling, curves.shape[1],
-                                           mode="displace",
-                                           dtype=self.dtype,
-                                           mesh=self.mesh)
+            # numpy cast before upload; curves are already device-side
+            # self.dtype (cast inside the halo_curves jit)
+            pack["afac"] = jnp.asarray(
+                hd["a"].astype(np.dtype(self.dtype)))
+            pack["curves"] = curves
             for k in [k for k in self._compiled if k[0] == "tilepack"]:
                 del self._compiled[k]
-            self._compiled[pkey] = (pack, run)
-        pack, run = self._compiled[pkey]
+            self._compiled[pkey] = pack
+        pack = self._compiled[pkey]
 
         P = tiling.RB * tiling.K
         acc = jnp.zeros((tiling.n_tiles, P, 2), dtype=self.dtype)
@@ -873,14 +1012,13 @@ class BaryonifyShell(DefaultRunner):
     # window (detected on device) or sit in geometrically irregular
     # regions fall back to the scatter deposit.
     # ------------------------------------------------------------------
-    def _regrid_stencil(self, NSIDE, npix, rdt, acc, orig_dev,
-                        host_sum=0.0):
+    def _get_stencil_combo(self, NSIDE, rdt):
+        """(cached) the fused hot-tile-detect + stencil jit; also fills
+        the ("stencilinfo", NSIDE) host-info entry."""
         from ..ops import tiles as _tiles
-
-        tiling = self._get_tiling(NSIDE)
-        P = tiling.RB * tiling.K
         skey = ("stencilrun", NSIDE, str(rdt), self.mesh is None)
         if skey not in self._compiled:
+            tiling = self._get_tiling(NSIDE)
             # mesh mode: the stencil's output tile axis shards across
             # devices (tiles are disjoint); po/orig inputs replicate
             run, info = _tiles.make_stencil_regrid(tiling, rdt=rdt,
@@ -899,12 +1037,21 @@ class BaryonifyShell(DefaultRunner):
                 return run(a, og, excl), excl
             self._compiled[skey] = jax.jit(combo)
             self._compiled[("stencilinfo", NSIDE)] = info
-        combo = self._compiled[skey]
+        return self._compiled[skey]
 
+    def _get_origtiled_jit(self, NSIDE, rdt):
+        """(cached) jit casting + tiling the original map."""
         okey = ("origtiled", NSIDE, str(rdt))
         if okey not in self._compiled:
+            tiling = self._get_tiling(NSIDE)
             self._compiled[okey] = jax.jit(
                 lambda m: tiling.tile_view(m.astype(rdt)))
+        return self._compiled[okey]
+
+    def _regrid_stencil(self, NSIDE, npix, rdt, acc, orig_dev,
+                        host_sum=0.0):
+        combo = self._get_stencil_combo(NSIDE, rdt)
+        okey_fn = self._get_origtiled_jit(NSIDE, rdt)
         # content-token-guarded like _device_map's 'origmap' key:
         # in-place map mutation between process() calls must not reuse a
         # stale tiled original
@@ -913,35 +1060,26 @@ class BaryonifyShell(DefaultRunner):
             for k in [k for k in self._compiled
                       if k[0] == "origtiled_val"]:
                 del self._compiled[k]
-            self._compiled[otkey] = self._compiled[okey](orig_dev)
+            self._compiled[otkey] = okey_fn(orig_dev)
         orig_tiled = self._compiled[otkey]
 
         out_tiled, excl = combo(acc, orig_tiled)
         return self._stencil_complement(NSIDE, npix, rdt, acc, out_tiled,
                                         orig_tiled, excl)
 
-    def _stencil_complement(self, NSIDE, npix, rdt, acc, out_tiled,
-                            orig_tiled, excl):
-        """Scatter complement of the stencil: geometric tiles via a
-        COMPACT static source list (the padded whole-tile form scattered
-        27M slots for ~4M real pixels — 87% padding — and was 4.5 s of
-        the NSIDE=4096 phase B), hot tiles (rare; measured 0% even at
-        1e6-halo density) via the chunked whole-tile path. Fused with
-        the tile->ring flat view into one dispatch; mesh mode shards the
-        source axis and psums."""
+    def _get_stencil_geo(self, NSIDE):
+        """(cached) compact (tile*P + slot) list of the geometric tiles'
+        VALID pixel slots, built on device (no big host upload: only the
+        ~Tg tile ids cross the link; count is exact host math). Requires
+        the ("stencilinfo", NSIDE) entry (_get_stencil_combo)."""
         from ..ops import tiles as _tiles
-
         tiling = self._get_tiling(NSIDE)
         P = tiling.RB * tiling.K
-        info = self._compiled[("stencilinfo", NSIDE)]
-        Dg_np = np.asarray(info["D_geom"])
         ndev = 1 if self.mesh is None else self.mesh.devices.size
-
-        # one-time compact (tile*P + slot) list of the geometric tiles'
-        # VALID pixel slots, built on device (no big host upload: only
-        # the ~Tg tile ids cross the link; count is exact host math)
         gkey = ("stencil_geo", NSIDE, ndev)
         if gkey not in self._compiled:
+            info = self._compiled[("stencilinfo", NSIDE)]
+            Dg_np = np.asarray(info["D_geom"])
             g_tids = np.where(Dg_np)[0].astype(np.int32)
             n_valid = _tiles.count_valid_slots(tiling, g_tids)
             n_pad = -(-n_valid // ndev) * ndev
@@ -960,7 +1098,21 @@ class BaryonifyShell(DefaultRunner):
                     jnp.maximum(idx, 0)], -1)
 
             self._compiled[gkey] = jax.jit(build)(jnp.asarray(g_tids))
-        sf_c = self._compiled[gkey]
+        return self._compiled[gkey]
+
+    def _stencil_complement(self, NSIDE, npix, rdt, acc, out_tiled,
+                            orig_tiled, excl):
+        """Scatter complement of the stencil: geometric tiles via a
+        COMPACT static source list (the padded whole-tile form scattered
+        27M slots for ~4M real pixels — 87% padding — and was 4.5 s of
+        the NSIDE=4096 phase B), hot tiles (rare; measured 0% even at
+        1e6-halo density) via the chunked whole-tile path. Fused with
+        the tile->ring flat view into one dispatch; mesh mode shards the
+        source axis and psums."""
+        info = self._compiled[("stencilinfo", NSIDE)]
+        Dg_np = np.asarray(info["D_geom"])
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        sf_c = self._get_stencil_geo(NSIDE)
 
         hot_ids = np.where(np.asarray(excl) & ~Dg_np)[0].astype(np.int32)
         Tc = 512
@@ -970,7 +1122,14 @@ class BaryonifyShell(DefaultRunner):
         has_hot = hot_ids.size > 0
         tids = np.full(nch * Tc, -1, dtype=np.int32)
         tids[:hot_ids.size] = hot_ids
+        finish = self._get_stencil_finish(NSIDE, npix, rdt, has_hot, nch)
+        return finish(acc, out_tiled, orig_tiled, sf_c,
+                      jnp.asarray(tids.reshape(nch, Tc)))
 
+    def _get_stencil_finish(self, NSIDE, npix, rdt, has_hot, nch):
+        """(cached) the fused complement-scatter + flat-view jit."""
+        tiling = self._get_tiling(NSIDE)
+        P = tiling.RB * tiling.K
         ckey = ("stencil_compl", NSIDE, str(rdt), has_hot,
                 nch if has_hot else 0)
         if ckey not in self._compiled:
@@ -1069,9 +1228,7 @@ class BaryonifyShell(DefaultRunner):
                     in_specs=(_PS(), _PS(), _PS(), _PS("halos"),
                               _PS("halos")),
                     out_specs=_PS()))
-        finish = self._compiled[ckey]
-        return finish(acc, out_tiled, orig_tiled, sf_c,
-                      jnp.asarray(tids.reshape(nch, Tc)))
+        return self._compiled[ckey]
 
     def stencil_stage_times(self, NSIDE, npix, rdt):
         """Warm, blocked per-dispatch timings of the stencil phase B
@@ -1313,39 +1470,23 @@ class BaryonifyShell(DefaultRunner):
             self._compiled[key] = jnp.stack([theta, phi], axis=1)
         return self._compiled[key]
 
-    def _device_map(self, orig_map, rdt, host_sum):
-        """Upload the shell map once per (content, dtype) and reuse the
-        device copy: over the axon tunnel a 100 MB float64 upload costs
-        3-6 s per call, and repeated baryonify/paint passes over the same
-        shell are common. The map is shipped in the regrid dtype (the
-        kernels consume ``orig.astype(rdt)`` anyway), halving the bytes in
-        float32. Keyed by the map content token so mutated maps
-        re-upload (see _map_token)."""
-        key = ("origmap", self._map_tok, str(rdt))
-        if key not in self._compiled:
-            # drop stale uploads of other shells to cap device memory
-            for k in [k for k in self._compiled
-                      if k[0] in ("origmap", "orighost")]:
-                del self._compiled[k]
-            host = orig_map.astype(
-                np.float64 if rdt == jnp.float64 else np.float32)
-            # the host-side cast is kept for the sparse result download:
-            # it is bitwise-identical to the device copy, so unchanged
-            # blocks never cross the link (ops/transfer.py)
-            self._compiled[("orighost",) + key[1:]] = host
-            self._compiled[key] = jnp.asarray(host)
-        return self._compiled[key]
-
     def process(self):
         return self.process_async().result()
 
     def process_async(self):
         """Dispatch the full baryonification and return a Future resolving
-        to the host map. Repeated calls pipeline: call k's result download
-        overlaps call k+1's device compute (see _submit_fetch)."""
+        to the host map. Repeated calls pipeline TWICE over: the compute
+        dispatch runs on a dispatch thread (so this returns immediately
+        even when bucket-dispatch RPCs block) and call k's result
+        download overlaps call k+1's compute (see _submit_fetch /
+        _dispatch_executor)."""
+        t_start = time.time()
+        return self._async_via_dispatch(
+            lambda: self._dispatch_process(t_start))
+
+    def _dispatch_process(self, t_start):
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
-        t_start = time.time()
         self._refresh_tokens()
 
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
@@ -1415,6 +1556,203 @@ class BaryonifyShell(DefaultRunner):
             t_start, orig_dev, self._host_map(rdt),
             conserve_sum=old_sum)
 
+    def warmup(self, max_workers=16):
+        """CONCURRENTLY pre-compile every kernel a process() call will
+        dispatch, and pre-build the host/device data caches.
+
+        Cold warmup was the round-4 regression (BENCH_r04: 555 s; 945 s
+        measured cold on this machine): each kernel's first dispatch
+        paid a 20-120 s remote compile, SERIALLY. The compiles are
+        independent and the remote compiler parallelizes across
+        requests (measured: 4 concurrent compiles ≈ 1 serial), so
+        issuing them all from a thread pool collapses the wall cost to
+        ~host-prep + the slowest single compile. Kernels are compiled
+        ahead-of-time (``jit.lower().compile()``), which populates the
+        persistent compilation cache that the real dispatches then hit.
+
+        Returns {"warmup_s", "n_compiles", "n_failed"}. Safe to skip —
+        process() compiles lazily as before — and safe to call twice
+        (warm kernels are cache hits). Single-device path only; mesh
+        runs warm on first process().
+        """
+        from concurrent.futures import ThreadPoolExecutor
+        from ..cosmo.core import cosmology_from_dict
+        from ..ops.transfer import SparseMapFetcher, _split_fn, _N_STREAMS
+
+        t0 = time.time()
+        cosmo = cosmology_from_dict(self.cosmo)
+        self._refresh_tokens()
+        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
+        NSIDE = self.LightconeShell.NSIDE
+        npix = orig_map.size
+        rdt = self.regrid_dtype
+        dt = self.dtype
+        sds = jax.ShapeDtypeStruct
+
+        report = {"n_compiles": 0, "n_failed": 0}
+        pool = ThreadPoolExecutor(max_workers=max_workers,
+                                  thread_name_prefix="bfg-warm")
+        futs = []
+        log = os.environ.get("BFG_WARMUP_LOG", "1") != "0"
+
+        def submit(name, fn):
+            def timed():
+                import sys as _sys
+                t = time.time()
+                try:
+                    return fn()
+                finally:
+                    if log:
+                        print(f"[bfg-warm] {name}: "
+                              f"{time.time() - t:.1f}s "
+                              f"(t+{time.time() - t0:.0f}s)",
+                              file=_sys.stderr)
+            futs.append((name, pool.submit(timed)))
+
+        use_tiles = self._use_curves() and self.deposit != "scatter"
+        use_stencil = (use_tiles and self.regrid in ("auto", "stencil")
+                       and self.mesh is None)
+
+        # ---- catalog-independent jobs first: these compile while the
+        # host prepares halos and tile buckets below
+        if use_stencil:
+            tiling = self._get_tiling(NSIDE)
+            P = tiling.RB * tiling.K
+            acc_s = sds((tiling.n_tiles, P, 2), dt)
+            og_s = sds((tiling.n_tiles, P), rdt)
+            combo = self._get_stencil_combo(NSIDE, rdt)
+            submit("stencil_combo",
+                   lambda: combo.lower(acc_s, og_s).compile())
+            submit("stencil_geo", lambda: self._get_stencil_geo(NSIDE))
+            fin = self._get_stencil_finish(NSIDE, npix, rdt,
+                                           has_hot=False, nch=1)
+            sf_s = sds((self._stencil_geo_size(NSIDE),), jnp.int32)
+            tids_s = sds((1, 512), jnp.int32)
+            submit("stencil_finish",
+                   lambda: fin.lower(acc_s, og_s, og_s, sf_s,
+                                     tids_s).compile())
+            ot = self._get_origtiled_jit(NSIDE, rdt)
+            submit("origtiled",
+                   lambda: ot.lower(sds((npix,), rdt)).compile())
+            submit("acc_zeros",
+                   lambda: jnp.zeros((tiling.n_tiles, P, 2),
+                                     dt).block_until_ready())
+            # sparse-fetch kernels (diff; the changed-block gather is
+            # data-sized and compiles on first fetch)
+            block = next((b for b in (4096, 768)
+                          if npix % b == 0 and npix >= 64 * b), None)
+            if self.transfer in ("auto", "sparse") and block:
+                fkey = ("sparsefetch", npix, block)
+                if fkey not in self._compiled:
+                    self._compiled[fkey] = SparseMapFetcher(npix,
+                                                            block=block)
+                fx = self._compiled[fkey]
+                m_s = sds((npix,), rdt)
+                submit("fetch_diff",
+                       lambda: fx._diff_fn(np.dtype(rdt), False)
+                       .lower(m_s, m_s).compile())
+            ns = min(_N_STREAMS, max(1, npix // (1 << 20)))
+            if ns > 1:
+                submit("xfer_split",
+                       lambda: _split_fn(npix, np.dtype(rdt), ns)
+                       .lower(sds((npix,), rdt)).compile())
+
+        # ---- catalog-dependent prep (the serial prefix) -------------
+        hkey = ("hostprep", self._cat_tok, self._model_tok)
+        keys = self._model_p_keys()
+        cat = self.HaloLightConeCatalog.cat
+        curves_fut = None
+        if hkey in self._compiled:
+            hd, extras, curve_meta = self._compiled[hkey]
+        else:
+            hd = self._host_halo_data(cosmo)   # 1 serial remote compile
+            pcols = [np.asarray(cat[k], dtype=float) for k in keys]
+            if self._use_curves():
+                pkw = {k: v for k, v in zip(keys, pcols)}
+                jit_curves = self._jit_halo_curves(self.model)
+                curves_fut = pool.submit(jit_curves, hd["M"], hd["a"],
+                                         pkw)
+                futs.append(("halo_curves", curves_fut))
+
+        if use_tiles:
+            # curve-grid scalars host-side (ln r axis of the table) so
+            # binning + kernel warm jobs need not wait for the curves.
+            # MUST match halo_curves bit-for-bit: with an f32 hot path
+            # the model's axes are f32-cast (with_dtype), so ln_r0/dlnr
+            # are f32 values — a f64 version here would shift the
+            # bucket cache key and could flip a marginal window class
+            rr = np.asarray(getattr(self.model, "raw_input_r_range"))
+            if dt == jnp.float32 and hasattr(self.model, "with_dtype"):
+                rr = rr.astype(np.float32)
+            ln_r0 = float(rr[0])
+            dlnr = float(rr[1] - rr[0])
+            n_r = int(rr.size)
+            Rcom = hd["R"] / hd["a"]
+            rscale = (1.0 / Rcom
+                      if getattr(self.model, "Rdelta_sampling", False)
+                      else np.ones_like(Rcom))
+            small = self._small_disc_mask(hd, NSIDE)
+            tiling = self._get_tiling(NSIDE)
+            buckets = self._get_tile_buckets(
+                tiling, hd, small, inv_dlnr=1.0 / dlnr,
+                lnDa=np.log(hd["D"] * np.asarray(rscale) / hd["a"]),
+                grids=[(ln_r0, 1.0 / dlnr, n_r)])
+            run = self._get_tile_run(tiling, n_r, "displace")
+            n = hd["M"].shape[0]
+            pack_sds = dict(vh=sds((n, 3), jnp.float64),
+                            crit2=sds((n,), dt), lnDa=sds((n,), dt),
+                            invD=sds((n,), dt), afac=sds((n,), dt),
+                            curves=sds((n, n_r), dt))
+            P = tiling.RB * tiling.K
+            acc_s = sds((tiling.n_tiles, P, 2), dt)
+            for i, b in enumerate(buckets):
+                submit(f"bucket{i}",
+                       run.warm_job(b, pack_sds, ln_r0, 1.0 / dlnr,
+                                    acc_s))
+
+        # ---- join + assemble the data caches the first process() uses
+        report["n_compiles"] = len(futs)
+        for name, f in futs:
+            try:
+                f.result()
+            except Exception as e:              # noqa: BLE001
+                report["n_failed"] += 1
+                import warnings
+                warnings.warn(f"warmup job {name} failed: {e!r}")
+        pool.shutdown(wait=True)
+
+        if curves_fut is not None and not curves_fut.exception():
+            curves, ln_r0_a, dlnr_a = curves_fut.result()
+            extras = pcols + [curves, Rcom, rscale]
+            curve_meta = (float(ln_r0_a), float(dlnr_a))
+            for k in [k for k in self._compiled if k[0] == "hostprep"]:
+                del self._compiled[k]
+            self._compiled[hkey] = (hd, extras, curve_meta)
+
+        # upload the shell map now (first process() then skips the
+        # 3-6 s/100 MB host->device transfer and the tiling exec)
+        if use_stencil:
+            old_sum = orig_map.sum()
+            orig_dev = self._device_map(orig_map, rdt, old_sum)
+            otkey = ("origtiled_val", self._map_tok, str(rdt))
+            if otkey not in self._compiled:
+                self._compiled[otkey] = self._get_origtiled_jit(
+                    NSIDE, rdt)(orig_dev)
+
+        report["warmup_s"] = round(time.time() - t0, 2)
+        return report
+
+    def _stencil_geo_size(self, NSIDE):
+        """Host-side exact padded length of the compact geometric-tile
+        source list (mirrors _get_stencil_geo without device work)."""
+        from ..ops import tiles as _tiles
+        info = self._compiled[("stencilinfo", NSIDE)]
+        g_tids = np.where(np.asarray(info["D_geom"]))[0].astype(np.int32)
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        n_valid = _tiles.count_valid_slots(self._get_tiling(NSIDE),
+                                           g_tids)
+        return -(-n_valid // ndev) * ndev
+
     def build_step(self):
         """Return (fn, example_args): the full baryonification step as one
         pure jittable function (single-bucket phase A scan + phase B
@@ -1465,15 +1803,26 @@ class PaintProfilesShell(DefaultRunner):
 
     def process_async(self):
         """Dispatch the paint and return a Future resolving to the host
-        map (repeated calls pipeline; see _submit_fetch)."""
+        map (repeated calls pipeline both the dispatch and the result
+        download; see _submit_fetch / _dispatch_executor)."""
+        t_start = time.time()
+        return self._async_via_dispatch(
+            lambda: self._dispatch_process(t_start))
+
+    def _dispatch_process(self, t_start):
+        return self._submit_fetch(self._paint_device(), t_start)
+
+    def _paint_device(self):
+        """Run the paint and return the DEVICE map (no host download).
+        PaintProfilesAnisShell consumes its Mtot canvas this way — the
+        old path downloaded the canvas and re-uploaded it, two full-map
+        trips over the tunnel per call."""
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
-        t_start = time.time()
         self._refresh_tokens(need_map=False)   # paint ignores map values
 
-        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
-        npix = orig_map.size
+        npix = 12 * NSIDE * NSIDE
         pixarea = hpx.nside2pixarea(NSIDE)
 
         hd = self._host_halo_data(cosmo)
@@ -1497,18 +1846,14 @@ class PaintProfilesShell(DefaultRunner):
             # halos in f32, and a host round trip over a tunnelled link
             # costs minutes (see _halo_curve_arrays)
             pkw = {k: e for k, e in zip(keys, extras)}
-            curves, ln_r0, dlnr = jax.jit(
-                lambda M, a, pkw: model.halo_curves(M, a, kind="projected",
-                                                    **pkw))(
-                hd["M"], hd["a"], pkw)
-            if curves.dtype != dt:
-                curves = curves.astype(dt)
+            curves, ln_r0, dlnr = self._jit_halo_curves(
+                self.model, kind="projected")(hd["M"], hd["a"], pkw)
             extras = extras + [curves]
             curve_meta = (float(ln_r0), float(dlnr))
 
         if self._tiles_available(curve_meta):
             return self._tiled_paint(hd, extras, curve_meta, NSIDE, npix,
-                                     pixarea, t_start, log_curves=clog)
+                                     pixarea, log_curves=clog)
 
         def make_body(K_ring, K_phi):
             def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h,
@@ -1558,12 +1903,117 @@ class PaintProfilesShell(DefaultRunner):
         acc = self._bucketed_accumulate(make_body, hd, extras, (npix + 1,),
                                         acc_dtype, NSIDE)
         # painted maps are zero outside halo discs: diff-vs-zero sparse
-        # download (base None)
-        return self._submit_fetch(acc[:npix], t_start)
+        # download (base None) happens in _dispatch_process
+        return acc[:npix]
+
+    def warmup(self, max_workers=16):
+        """Concurrent ahead-of-time compile of the paint kernels — the
+        same serial-first-touch fix as BaryonifyShell.warmup (which see
+        for rationale). Single-device tiled path only; the scatter/mesh
+        paths warm on first process(). Returns {"warmup_s",
+        "n_compiles", "n_failed"}."""
+        from concurrent.futures import ThreadPoolExecutor
+        from ..cosmo.core import cosmology_from_dict
+        from ..ops.transfer import SparseMapFetcher, _split_fn, _N_STREAMS
+
+        t0 = time.time()
+        report = {"n_compiles": 0, "n_failed": 0, "warmup_s": 0.0}
+        model = self.model
+        if not (hasattr(model, "halo_curves")
+                and self.deposit != "scatter" and self.mesh is None):
+            report["warmup_s"] = round(time.time() - t0, 2)
+            return report
+        cosmo = cosmology_from_dict(self.cosmo)
+        self._refresh_tokens(need_map=False)
+        NSIDE = self.LightconeShell.NSIDE
+        npix = 12 * NSIDE * NSIDE
+        dt = self.dtype
+        sds = jax.ShapeDtypeStruct
+        log_curves = getattr(model, "curves_are_log", False)
+        tiling = self._get_tiling(NSIDE)
+        P = tiling.RB * tiling.K
+
+        pool = ThreadPoolExecutor(max_workers=max_workers,
+                                  thread_name_prefix="bfg-warm")
+        futs = []
+
+        def submit(name, fn):
+            futs.append((name, pool.submit(fn)))
+
+        # catalog-independent jobs first
+        acc_s = sds((tiling.n_tiles, P), dt)
+        fg = self._get_flat_gather(tiling, 2)
+        submit("flat_gather", lambda: fg.lower(acc_s).compile())
+        submit("acc_zeros",
+               lambda: jnp.zeros((tiling.n_tiles, P),
+                                 dt).block_until_ready())
+        block = next((b for b in (4096, 768)
+                      if npix % b == 0 and npix >= 64 * b), None)
+        if self.transfer in ("auto", "sparse") and block:
+            fkey = ("sparsefetch", npix, block)
+            if fkey not in self._compiled:
+                self._compiled[fkey] = SparseMapFetcher(npix, block=block)
+            fx = self._compiled[fkey]
+            submit("fetch_diff0",
+                   lambda: fx._diff_fn(np.dtype(dt), True)
+                   .lower(sds((npix,), dt)).compile())
+        ns = min(_N_STREAMS, max(1, npix // (1 << 20)))
+        if ns > 1:
+            submit("xfer_split",
+                   lambda: _split_fn(npix, np.dtype(dt), ns)
+                   .lower(sds((npix,), dt)).compile())
+
+        # catalog-dependent prep (serial prefix)
+        hd = self._host_halo_data(cosmo)
+        keys = self._model_p_keys()
+        cat = self.HaloLightConeCatalog.cat
+        pkw = {k: np.asarray(cat[k], dtype=float) for k in keys}
+        submit("halo_curves",
+               lambda: self._jit_halo_curves(model, kind="projected")(
+                   hd["M"], hd["a"], pkw))
+        rr = np.asarray(getattr(model, "raw_input_r_range"))
+        if dt == jnp.float32 and hasattr(model, "with_dtype"):
+            rr = rr.astype(np.float32)       # match halo_curves exactly
+        ln_r0, dlnr, n_r = float(rr[0]), float(rr[1] - rr[0]), rr.size
+        n = hd["M"].shape[0]
+        ckey = ("curveclamp", (n, n_r), str(dt), log_curves)
+        if ckey not in self._compiled:
+            fix = ((lambda c: jnp.maximum(c, -80.0)) if log_curves
+                   else (lambda c: jnp.where(jnp.isfinite(c), c, 0.0)))
+            self._compiled[ckey] = jax.jit(lambda c: fix(c).astype(dt))
+        cl = self._compiled[ckey]
+        submit("curveclamp",
+               lambda: cl.lower(sds((n, n_r), dt)).compile())
+        small = np.zeros(n, dtype=bool)
+        buckets = self._get_tile_buckets(
+            tiling, hd, small, inv_dlnr=1.0 / dlnr,
+            lnDa=np.log(hd["D"] / hd["a"]),
+            grids=[(ln_r0, 1.0 / dlnr, int(n_r))])
+        run = self._get_tile_run(tiling, int(n_r), "paint",
+                                 log_curves=log_curves)
+        pack_sds = dict(vh=sds((n, 3), jnp.float64), crit2=sds((n,), dt),
+                        lnDa=sds((n,), dt), invD=sds((n,), dt),
+                        afac=sds((n,), dt), curves=sds((n, n_r), dt))
+        for i, b in enumerate(buckets):
+            submit(f"bucket{i}",
+                   run.warm_job(b, pack_sds, ln_r0, 1.0 / dlnr, acc_s))
+
+        report["n_compiles"] = len(futs)
+        for name, f in futs:
+            try:
+                f.result()
+            except Exception as e:              # noqa: BLE001
+                report["n_failed"] += 1
+                import warnings
+                warnings.warn(f"warmup job {name} failed: {e!r}")
+        pool.shutdown(wait=True)
+        report["warmup_s"] = round(time.time() - t0, 2)
+        return report
 
     def _tiled_paint(self, hd, extras, curve_meta, NSIDE, npix, pixarea,
-                     t_start=None, log_curves=True):
-        """Scatter-free painting: dense per-tile pair sums (ops/tiles.py).
+                     log_curves=True):
+        """Scatter-free painting: dense per-tile pair sums (ops/tiles.py);
+        returns the DEVICE map.
 
         Unlike the baryonify phase A there is no small-disc fallback in the
         reference paint loop (HealpixRunner.py:376-483), so every halo goes
@@ -1582,6 +2032,8 @@ class PaintProfilesShell(DefaultRunner):
             grids=[(float(ln_r0), 1.0 / float(dlnr),
                     int(curves.shape[1]))])
 
+        run = self._get_tile_run(tiling, int(curves.shape[1]), "paint",
+                                 log_curves=log_curves)
         pkey = ("tilepack", "paint", self._cat_tok, self._model_tok,
                 bool(self.include_pixel_size), log_curves)
         if pkey not in self._compiled:
@@ -1589,7 +2041,7 @@ class PaintProfilesShell(DefaultRunner):
             afac = 1.0 / hd["a"]            # curves store Sigma * a
             if self.include_pixel_size:
                 afac = afac * pixarea * hd["D"] ** 2
-            pack["afac"] = jnp.asarray(afac).astype(self.dtype)
+            pack["afac"] = jnp.asarray(afac.astype(np.dtype(self.dtype)))
             # log curves: clamp -inf rows so exp(-80) reads as 0 without
             # NaN risk; raw curves: zero non-finite entries. (jitted:
             # curves live on device, jnp.maximum eager would dispatch a
@@ -1601,14 +2053,10 @@ class PaintProfilesShell(DefaultRunner):
                 self._compiled[ckey] = jax.jit(
                     lambda c: fix(c).astype(self.dtype))
             pack["curves"] = self._compiled[ckey](jnp.asarray(curves))
-            run = _tiles.make_tile_deposit(tiling, curves.shape[1],
-                                           mode="paint", dtype=self.dtype,
-                                           log_curves=log_curves,
-                                           mesh=self.mesh)
             for k in [k for k in self._compiled if k[0] == "tilepack"]:
                 del self._compiled[k]
-            self._compiled[pkey] = (pack, run)
-        pack, run = self._compiled[pkey]
+            self._compiled[pkey] = pack
+        pack = self._compiled[pkey]
 
         P = tiling.RB * tiling.K
         acc = jnp.zeros((tiling.n_tiles, P), dtype=self.dtype)
@@ -1621,10 +2069,7 @@ class PaintProfilesShell(DefaultRunner):
                 continue
             tids, out = run(bucket, pack, float(ln_r0), 1.0 / float(dlnr))
             acc = acc.at[jnp.asarray(tids)].add(out)
-        flat = self._tile_flat_gather(tiling, npix, acc)
-        if t_start is None:
-            t_start = time.time()
-        return self._submit_fetch(flat, t_start)
+        return self._tile_flat_gather(tiling, npix, acc)
 
 
 class PaintProfilesAnisShell(DefaultRunner):
@@ -1653,48 +2098,88 @@ class PaintProfilesAnisShell(DefaultRunner):
                          dtype=dtype, **runner_kwargs)
 
     def process(self):
+        return self.process_async().result()
+
+    def process_async(self):
+        """Dispatch the anisotropic paint and return a Future resolving
+        to the host map. Fleet transfer standard (VERDICT r4 order #4):
+        the Mtot canvas stays ON DEVICE (the old path downloaded it and
+        re-uploaded it — two full-map tunnel trips per call), the
+        background mass-fraction term is fused into the final device
+        kernel instead of host numpy at npix scale, the result rides the
+        sparse fetcher with a compute/transfer timings split, and
+        repeated calls pipeline like the sibling runners."""
+        t_start = time.time()
+        return self._async_via_dispatch(
+            lambda: self._dispatch_process(t_start))
+
+    def _mtot_runner(self):
+        """(cached) nested total-mass paint runner — kept alive so its
+        device caches (curves, packs, buckets) persist across calls."""
+        mkey = ("anis_mtot_runner", object_token(self.Mtot_model))
+        if mkey not in self._compiled:
+            for k in [k for k in self._compiled
+                      if k[0] == "anis_mtot_runner"]:
+                del self._compiled[k]
+            # forwards the full runner config (incl. mesh) so the canvas
+            # paint is sharded/tiled exactly like a standalone paint
+            self._compiled[mkey] = PaintProfilesShell(
+                HaloLightConeCatalog=self.HaloLightConeCatalog,
+                LightconeShell=self.LightconeShell,
+                epsilon_max=self.epsilon_max, model=self.Mtot_model,
+                include_pixel_size=True, mass_def=self.mass_def,
+                verbose=self.verbose, halo_batch=self.halo_batch,
+                dtype=self.dtype, mesh=self.mesh,
+                n_size_buckets=self.n_size_buckets,
+                pixel_budget=self.pixel_budget,
+                regrid_dtype=self.regrid_dtype, deposit=self.deposit,
+                transfer=self.transfer)
+        return self._compiled[mkey]
+
+    def _dispatch_process(self, t_start):
         from ..cosmo.core import cosmology_from_dict
         from ..utils.Tabulate import _get_parameter
         import warnings
         cosmo = cosmology_from_dict(self.cosmo)
         self._refresh_tokens()
 
-        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
         NSIDE = self.LightconeShell.NSIDE
-        npix = orig_map.size
+        npix = 12 * NSIDE * NSIDE
         pixarea = hpx.nside2pixarea(NSIDE)
 
-        # total-mass canvas painted with pixel sizes included; forwards
-        # the full runner config (incl. mesh) so the canvas paint is
-        # sharded/tiled exactly like a standalone paint
-        Mtot_map = PaintProfilesShell(
-            HaloLightConeCatalog=self.HaloLightConeCatalog,
-            LightconeShell=self.LightconeShell,
-            epsilon_max=self.epsilon_max, model=self.Mtot_model,
-            include_pixel_size=True, mass_def=self.mass_def,
-            verbose=self.verbose, halo_batch=self.halo_batch,
-            dtype=self.dtype, mesh=self.mesh,
-            n_size_buckets=self.n_size_buckets,
-            pixel_budget=self.pixel_budget,
-            regrid_dtype=self.regrid_dtype, deposit=self.deposit,
-            transfer=self.transfer).process()
+        # total-mass canvas, computed AND consumed on device
+        mt_runner = self._mtot_runner()
+        # re-point at the CURRENT data objects (the user may have swapped
+        # them on this runner); content tokens re-derive inside
+        mt_runner.HaloLightConeCatalog = self.HaloLightConeCatalog
+        mt_runner.LightconeShell = self.LightconeShell
+        Mtot_dev = mt_runner._paint_device()
 
         dL = 2 * _get_parameter(self.Mtot_model, "proj_cutoff")
-        dD = float(_core.angular_diameter_distance(
-            cosmo, 1.0 / (1.0 + self.LightconeShell.redshift))[0])
+        a_shell = 1.0 / (1.0 + self.LightconeShell.redshift)
+        gkey = ("anis_geom", float(a_shell))
+        if gkey not in self._compiled:
+            # jit: these background-geometry evaluations chain dozens of
+            # eager ops (distance quadrature) — one RPC each on axon
+            self._compiled[gkey] = jax.jit(lambda: (
+                _core.angular_diameter_distance(cosmo, a_shell)[0],
+                _core.rho_x(cosmo, a_shell, species="matter",
+                            is_comoving=False)))
+        dD, rho_m = (float(v) for v in self._compiled[gkey]())
         dV = pixarea * ((dD + dL) ** 3 - dD ** 3)
-        rho_halos = Mtot_map.sum() / (dV * Mtot_map.size)
-        rho_m = float(_core.rho_x(cosmo,
-                                  1.0 / (1.0 + self.LightconeShell.redshift),
-                                  species="matter", is_comoving=False))
-        drho_m = np.clip(rho_m - rho_halos, 0, None)
-        Mtot_map = Mtot_map + dV * drho_m
+        skey = ("mapsum", npix, str(Mtot_dev.dtype))
+        if skey not in self._compiled:
+            self._compiled[skey] = jax.jit(
+                lambda m: jnp.sum(m.astype(jnp.float64)))
+        rho_halos = float(self._compiled[skey](Mtot_dev)) / (dV * npix)
+        drho_m = float(np.clip(rho_m - rho_halos, 0, None))
         if self.verbose:
             print(f"Inputted halos contribute {100 * rho_halos / rho_m:0.2f}%"
                   " of the total matter density.")
         if rho_halos > rho_m:
             warnings.warn("halos contribute more mass than the mean matter "
                           "density allows; check Mtot_model / cosmology")
+        bg_weight = self.background_val * self.global_tracer_fraction
 
         hd = self._host_halo_data(cosmo)
         keys = self._model_p_keys()
@@ -1703,8 +2188,10 @@ class PaintProfilesAnisShell(DefaultRunner):
         dt = self.dtype
         model, tracer = self.model, self.Tracer_model
         include_pix = self.include_pixel_size
-        Mtot_dev = jnp.asarray(Mtot_map)
-        orig_dev = jnp.asarray(orig_map)
+
+        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
+        old_sum = orig_map.sum()
+        orig_dev = self._device_map(orig_map, jnp.float64, old_sum)
 
         # fast path: per-halo profile curves for BOTH model and tracer
         # (Tabulated / ParamTabulated — p_keys collapse into the curves) —
@@ -1717,12 +2204,10 @@ class PaintProfilesAnisShell(DefaultRunner):
         clog_t = getattr(tracer, "curves_are_log", False)
         if hasattr(model, "halo_curves") and hasattr(tracer, "halo_curves"):
             pkw = {k: e for k, e in zip(keys, extras)}
-            pc, ln_r0_p, dlnr_p = jax.jit(
-                lambda M, a, pkw: model.halo_curves(
-                    M, a, kind="projected", **pkw))(hd["M"], hd["a"], pkw)
-            tc, ln_r0_t, dlnr_t = jax.jit(
-                lambda M, a, pkw: tracer.halo_curves(
-                    M, a, kind="projected", **pkw))(hd["M"], hd["a"], pkw)
+            pc, ln_r0_p, dlnr_p = self._jit_curves_raw(model)(
+                hd["M"], hd["a"], pkw)
+            tc, ln_r0_t, dlnr_t = self._jit_curves_raw(tracer)(
+                hd["M"], hd["a"], pkw)
             curve_meta = (float(ln_r0_p), float(dlnr_p),
                           float(ln_r0_t), float(dlnr_t))
 
@@ -1730,22 +2215,40 @@ class PaintProfilesAnisShell(DefaultRunner):
             # tiled fast path: the halo sum
             # sum_h afac_h * painting_h(r) * canvas_h(r) runs through the
             # paint2 tile kernel (two curve lookups; log pairs share one
-            # exp, raw pairs multiply); the per-pixel orig/Mtot weight
-            # factors out of the halo sum
+            # exp, raw pairs multiply); the per-pixel orig/Mtot weight AND
+            # the uniform-background term fuse into one final kernel
             halo_sum = self._tiled_paint2(hd, pc, tc, curve_meta, NSIDE,
                                           npix, pixarea,
                                           log_pair=(clog_p, clog_t))
             fkey = ("anis_factor", NSIDE)
             if fkey not in self._compiled:
-                self._compiled[fkey] = jax.jit(
-                    lambda hs, mt, og: jnp.where(
-                        mt > 0, hs.astype(jnp.float64) * og / mt, 0.0))
-            new_map = np.asarray(self._compiled[fkey](
-                halo_sum, Mtot_dev, orig_dev))
-        else:
-            new_map = None
-            if curve_meta is not None:
-                extras = extras + [np.asarray(pc), np.asarray(tc)]
+                def fin(hs, mt, og, add, bgw):
+                    # mt arrives WITHOUT the uniform background; add it
+                    # here (the reference's Mtot_map += dV*drho_m,
+                    # HealpixRunner.py:573-582) and fold the background
+                    # tracer term bgw * (add/mt) * og in the same pass
+                    mt2 = mt.astype(jnp.float64) + add
+                    good = mt2 > 0
+                    base = jnp.where(good,
+                                     hs.astype(jnp.float64) * og / mt2,
+                                     0.0)
+                    bg = jnp.where(good, add / mt2, 0.0) * og
+                    return base + bgw * bg
+                self._compiled[fkey] = jax.jit(fin)
+            new_dev = self._compiled[fkey](halo_sum, Mtot_dev, orig_dev,
+                                           dV * drho_m, bg_weight)
+            # diff-vs-zero sparse fetch (dense fallback when the map is
+            # mostly touched); timings split attached to the future
+            return self._submit_fetch(new_dev, t_start)
+
+        # ---- scatter fallback (models without curves) ----------------
+        if curve_meta is not None:
+            extras = extras + [np.asarray(pc), np.asarray(tc)]
+        mt_add_key = ("anis_mt_add", npix)
+        if mt_add_key not in self._compiled:
+            self._compiled[mt_add_key] = jax.jit(
+                lambda m, add: m.astype(jnp.float64) + add)
+        Mtot_dev = self._compiled[mt_add_key](Mtot_dev, dV * drho_m)
 
         def make_body(K_ring, K_phi):
           def one_halo(theta_h, phi_h, rad_h, M_h, a_h, D_h, valid_h, *o_h):
@@ -1800,18 +2303,24 @@ class PaintProfilesAnisShell(DefaultRunner):
                 val.reshape(-1).astype(jnp.float64)), None
           return body
 
-        if new_map is None:
-            new_map = np.asarray(
-                self._bucketed_accumulate(make_body, hd, extras,
-                                          (npix + 1,), jnp.float64,
-                                          NSIDE)[:npix])
-
-        # background contribution (both paths)
-        mfrac_bg = np.where(Mtot_map > 0, dV * drho_m / Mtot_map, 0.0)
-        mfrac_bg *= orig_map
-        new_map = new_map + (self.background_val
-                             * self.global_tracer_fraction * mfrac_bg)
-        return new_map
+        # the body closure bakes Mtot_dev/orig_dev as jit constants:
+        # their identities join the compile key
+        acc = self._bucketed_accumulate(
+            make_body, hd, extras, (npix + 1,), jnp.float64, NSIDE,
+            extra_key=(self._map_tok, object_token(self.Mtot_model),
+                       round(dV * drho_m, 12)))
+        # background contribution, fused on device (Mtot_dev already
+        # carries the uniform add): bgw * (dV*drho_m / Mtot) * orig
+        bgkey = ("anis_bg", npix)
+        if bgkey not in self._compiled:
+            def add_bg(acc_map, mt, og, add, bgw):
+                good = mt > 0
+                bg = jnp.where(good, add / mt, 0.0) * og
+                return acc_map + bgw * bg
+            self._compiled[bgkey] = jax.jit(add_bg)
+        new_dev = self._compiled[bgkey](acc[:npix], Mtot_dev, orig_dev,
+                                        dV * drho_m, bg_weight)
+        return self._submit_fetch(new_dev, t_start)
 
     def _tiled_paint2(self, hd, pc, tc, curve_meta, NSIDE, npix, pixarea,
                       log_pair=(True, True)):
@@ -1861,15 +2370,13 @@ class PaintProfilesAnisShell(DefaultRunner):
                 jnp.asarray(pc), jnp.asarray(tc))
             pack["ln_r0_2"] = jnp.asarray(ln_r0_t, dtype=dt)
             pack["inv_dlnr_2"] = jnp.asarray(1.0 / dlnr_t, dtype=dt)
-            run = _tiles.make_tile_deposit(tiling, pc.shape[1],
-                                           mode="paint2", dtype=dt,
-                                           log_curves=both_log,
-                                           mesh=self.mesh,
-                                           n_r2=tc.shape[1])
             for k in [k for k in self._compiled if k[0] == "tilepack"]:
                 del self._compiled[k]
-            self._compiled[pkey] = (pack, run)
-        pack, run = self._compiled[pkey]
+            self._compiled[pkey] = pack
+        pack = self._compiled[pkey]
+        run = self._get_tile_run(tiling, int(pc.shape[1]), "paint2",
+                                 log_curves=both_log,
+                                 n_r2=int(tc.shape[1]))
 
         P = tiling.RB * tiling.K
         acc = jnp.zeros((tiling.n_tiles, P), dtype=dt)

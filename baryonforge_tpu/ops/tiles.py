@@ -1114,6 +1114,29 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                 acc, tid_d, hid_d, pack, ln_r0, inv_dlnr)
         run.into = run_into
 
+    def warm_job(bucket, pack, ln_r0, inv_dlnr, acc_sds=None):
+        """Zero-arg callable that AOT-compiles this bucket's kernel
+        variant (``jit.lower(...).compile()``). The backend compile
+        populates the persistent compilation cache, so the later real
+        dispatch is a cache hit — and multiple warm jobs run
+        CONCURRENTLY from a thread pool (the remote compiler
+        parallelizes across requests; serial first-touch was the
+        measured 555-945 s cold warmup of BENCH_r04)."""
+        tid_d, hid_d, _ = _bucket_on_device(bucket)
+        n_c = _bucket_nc(bucket)
+        _ensure_crad(n_c)
+        sds = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)  # noqa: E731
+        pack_s = {k: sds(v) for k, v in pack.items()}
+        if mesh is None and acc_sds is not None:
+            f = _get_jitted_into(n_c)
+            args = (acc_sds, sds(tid_d), sds(hid_d), pack_s,
+                    ln_r0, inv_dlnr)
+        else:
+            f = _get_jitted(n_c)
+            args = (sds(tid_d), sds(hid_d), pack_s, ln_r0, inv_dlnr)
+        return lambda: f.lower(*args).compile()
+    run.warm_job = warm_job
+
     return run
 
 

@@ -92,134 +92,42 @@ def test_deltacl_limber_vs_s19_fig2():
     The banded DeltaP(k) golden (test_deltapk_golden.py) pins S(k) to the
     digitized Fig. 2 to +-0.07; this test pins the projected pipeline
     (paint -> Baryonification2D shell displace -> anafast) to the same
-    curve through the Limber map.
+    curve through the Limber map. Pipeline lives in utils/validation.py
+    (shared with tools/parity.py, which writes PARITY.json).
 
-    Fig-2 consistency: TNG cosmology, the Mc1e14 parameter set, halos
-    Tinker08-sampled to the same 10^12.8 Msun completeness in a thin
-    z in [0.10, 0.12] shell (volume-weighted z). Calibration run
-    (2026-08, NSIDE=256, ~93k halos): ratio/Fig2 = 0.9671/0.9666 at
-    k=0.7 h/Mpc, 0.9562/0.9415 at 1.0, 0.9511/0.9130 at 1.4 — residuals
-    +0.0005/+0.015/+0.038, growing toward small scales with the NSIDE=256
-    pixel smoothing (the ratio's residual window), all inside the +-0.07
-    band the DeltaP(k) goldens themselves carry.
+    Calibration run (2026-08, NSIDE=256, ~93k halos): ratio/Fig2 =
+    0.9671/0.9666 at k=0.7 h/Mpc, 0.9562/0.9415 at 1.0, 0.9511/0.9130 at
+    1.4 — residuals +0.0005/+0.015/+0.038, growing toward small scales
+    with the NSIDE=256 pixel smoothing, all inside the +-0.07 band the
+    DeltaP(k) goldens themselves carry.
     """
-    H_ = 0.6711
-    CD_ = dict(Omega_m=0.3175, Omega_b=0.049, h=H_, sigma8=0.82,
-               n_s=0.9649, w0=-1.0)
-    COSMO_ = bcosmo.cosmology_from_dict(CD_)
-    BPAR = dict(theta_ej=4, theta_co=0.1, M_c=1e14 / H_, mu_beta=0.4,
-                eta=0.3, eta_delta=0.3, tau=-np.inf, tau_delta=0,
-                A=0.09 / 2, M1=2.5e11 / H_, epsilon_h=0.015,
-                a=0.3, n=2, epsilon=4, p=0.3, q=0.707, gamma=2, delta=7,
-                proj_cutoff=205 / H_ / 2)
-
-    from baryonforge_tpu.cosmo import core as _core
-    from baryonforge_tpu.utils import halomodel as hm
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(31)
-    z1, z2 = 0.10, 0.12
-    a_of = lambda z: 1.0 / (1.0 + z)          # noqa: E731
-    chi1 = float(np.asarray(
-        _core.comoving_radial_distance(COSMO_, a_of(z1))).ravel()[0])
-    chi2 = float(np.asarray(
-        _core.comoving_radial_distance(COSMO_, a_of(z2))).ravel()[0])
-    chi_bar = 0.5 * (chi1 + chi2)
-    vol = 4.0 * np.pi / 3.0 * (chi2 ** 3 - chi1 ** 3)
-
-    # Tinker08-complete sample above 10^12.8 Msun (the Fig-2 box mask)
-    lgM = np.linspace(12.8, 15.3, 60)
-    M_grid = 10 ** lgM
-    dndlgM = np.asarray(hm.MassFuncTinker08()(
-        COSMO_, jnp.asarray(M_grid), a_of(0.11)))
-    counts = dndlgM * np.gradient(lgM) * vol
-    ns = rng.poisson(counts)
-    masses = np.repeat(M_grid, ns) * 10 ** rng.uniform(
-        -0.02, 0.02, int(ns.sum()))
-    n = masses.size
-    assert 30000 < n < 200000, n       # ~93k at the 10^12.8 cut
-    # volume-weighted z inside the shell
-    u = rng.uniform(0, 1, n)
-    chis = (chi1 ** 3 + u * (chi2 ** 3 - chi1 ** 3)) ** (1.0 / 3.0)
-    zs = np.interp(chis, [chi1, chi_bar, chi2], [z1, 0.11, z2])
-    cat = utils.HaloLightConeCatalog(
-        ra=rng.uniform(0, 360, n),
-        dec=np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
-        M=masses, z=zs, cosmo=CD_)
-
-    nside = 256
-    npix = 12 * nside * nside
-
-    tab = utils.TabulatedProfile(Profiles.DarkMatter(**BPAR), COSMO_)
-    tab.setup_interpolator(z_min=0.08, z_max=0.14, N_samples_z=3,
-                           z_linear_sampling=True,
-                           M_min=3e12, M_max=5e15, N_samples_Mass=12,
-                           R_min=1e-3, R_max=60, N_samples_R=64,
-                           verbose=False)
-    zero_shell = utils.LightconeShell(map=np.zeros(npix), cosmo=CD_)
-    mass_map = Runners.PaintProfilesShell(
-        cat, zero_shell, epsilon_max=5, model=tab,
-        include_pixel_size=True, halo_batch=256, verbose=False).process()
-    # un-collapsed mass as a uniform background (Fig-2 box recipe)
-    rho_m = float(_core.rho_x(COSMO_, 1.0, species="matter",
-                              is_comoving=True))
-    M_tot = rho_m * vol
-    frac = mass_map.sum() / M_tot
-    assert 0.25 < frac < 0.55, frac
-    mass_map = mass_map + (M_tot - mass_map.sum()) / npix
-
-    DMO = Profiles.DarkMatterOnly(**BPAR)
-    DMB = Profiles.DarkMatterBaryon(**BPAR)
-    model = Baryonification2D(DMO, DMB, COSMO_, epsilon_max=10)
-    model.setup_interpolator(z_min=0.08, z_max=0.14, N_samples_z=3,
-                             z_linear_sampling=True,
-                             M_min=3e12, M_max=5e15, N_samples_Mass=12,
-                             R_min=1e-3, R_max=60, N_samples_R=64,
-                             verbose=False)
-    shell = utils.LightconeShell(map=mass_map, cosmo=CD_)
-    new_map = Runners.BaryonifyShell(cat, shell, epsilon_max=10,
-                                     model=model, halo_batch=256,
-                                     verbose=False).process()
-
-    lmax = 3 * nside - 1
-    d0 = mass_map / mass_map.mean() - 1.0
-    d1 = new_map / new_map.mean() - 1.0
-    cl0 = sht.anafast(d0, lmax=lmax)
-    cl1 = sht.anafast(d1, lmax=lmax)
-    ratio = cl1 / cl0
-    ell = np.arange(lmax + 1)
-
-    # digitized Fig. 2 Mc1e14 curve (k in h/Mpc)
-    import csv
-    import os
-    path = os.path.join(os.path.dirname(__file__), "data",
-                        "S19_Fig2_Scrapped.csv")
-    with open(path) as f:
-        header = [h.strip() for h in f.readline().split(",")[::2]]
-        f.readline()
-        rows = list(csv.reader(f))
-    i = header.index("Mc1e14")
-    x = np.array([float(r[2 * i]) for r in rows if r[2 * i]])
-    y = np.array([float(r[2 * i + 1]) for r in rows if r[2 * i + 1]])
-    o = np.argsort(x)
-    fig2 = (x[o], y[o])
-
+    from baryonforge_tpu.utils import validation as V
+    res = V.limber_shell_run(nside=256, verbose=True)
     # large scales: no suppression
-    lo = (ell >= 2) & (ell <= 20)
-    assert abs(np.mean(ratio[lo]) - 1) < 0.03
-
+    assert abs(res["lo_band"] - 1) < 0.03, res
     # Limber-mapped band comparison at k where the map resolves the
     # suppression (k <= ~1.5 h/Mpc at NSIDE=256)
-    for kh in (0.7, 1.0, 1.4):
-        l_c = kh * H_ * chi_bar - 0.5
-        band = (ell >= 0.85 * l_c) & (ell <= 1.15 * l_c)
-        got = float(np.mean(ratio[band]))
-        want = float(np.interp(kh, *fig2))
-        print(f"deltaCl k={kh} h/Mpc ell~{l_c:.0f}: ours {got:.4f} "
-              f"Fig2 {want:.4f} diff {got - want:+.4f}")
-        assert abs(got - want) < 0.07, (
-            f"DeltaCl at k={kh} h/Mpc (ell~{l_c:.0f}): ours {got:.3f} "
-            f"vs Limber-mapped S19 Fig2 {want:.3f}")
+    for row in res["rows"]:
+        assert abs(row["resid"]) < 0.07, row
+
+
+@pytest.mark.slow
+def test_deltacl_limber_nside512_tightens():
+    """The NSIDE=512 Limber point at the same k values (VERDICT r4 order
+    #8): the k=1.4 h/Mpc residual must shrink below the NSIDE=256 value
+    (+0.0381 in the 2026-08 calibration), confirming that residual is
+    pixel smoothing — not physics — and protecting the headline parity
+    margin. Calibration run (2026-08-19, NSIDE=512): residuals
+    -0.0123/-0.0106/-0.0061 at k=0.7/1.0/1.4 — the k=1.4 point lands
+    6x closer to the digitized curve once the pixel window resolves
+    the suppression scale."""
+    from baryonforge_tpu.utils import validation as V
+    res = V.limber_shell_run(nside=512, verbose=True)
+    assert abs(res["lo_band"] - 1) < 0.03, res
+    for row in res["rows"]:
+        assert abs(row["resid"]) < 0.07, row
+    r14 = next(r for r in res["rows"] if r["k_h"] == 1.4)
+    assert abs(r14["resid"]) < 0.0381, r14
 
 
 @pytest.mark.slow
