@@ -131,17 +131,69 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             self._coords_dev = jnp.asarray(coords)
         coords_dev = self._coords_dev
 
-        def make_step(K):
-            def one_halo(hp, M_h, valid_h, inds, nn, *o_h):
-                # inds: (K,) padded neighbour indices; nn true count
+        # curve fast path (VERDICT r4 order #5): collapse the model's
+        # (z, M[, p_keys]) table axes to one radial curve per halo ONCE
+        # (the snapshot is single-redshift, so z and the p_keys columns
+        # are per-halo scalars), then the per-(halo, particle) readout
+        # is a 1D log-uniform lerp instead of an N-D multilinear table
+        # interpolation — the same fast path every shell runner uses
+        # (HealpixRunner._halo_curve_arrays). Identical values: the
+        # multilinear readout factorizes axis-by-axis.
+        curve_meta = None
+        if hasattr(model, "halo_curves"):
+            ckey = ("snapcurves_jit", object_token(model))
+            if ckey not in self._compiled:
+                m = model
+                if dt == jnp.float32 and hasattr(m, "with_dtype"):
+                    m = m.with_dtype(dt)
+                self._compiled[ckey] = jax.jit(
+                    lambda M, a, pkw: (lambda c, l0, dl:
+                                       (c.astype(dt), l0, dl))(
+                        *m.halo_curves(M, a, **pkw)))
+            pkw = {k: e for k, e in zip(keys, extras)}
+            curves, ln_r0, dlnr = self._compiled[ckey](
+                M, np.full_like(M, a), pkw)
+            ln_r0, dlnr = float(ln_r0), float(dlnr)
+            Rcom = R / a
+            rscale = (1.0 / Rcom
+                      if getattr(model, "Rdelta_sampling", False)
+                      else np.ones_like(Rcom)).astype(np.float64)
+            eps_edge = (self.epsilon_max * Rcom).astype(np.float64)
+            curve_meta = (ln_r0, dlnr)
+
+        # the per-halo curves enter the compiled step as ARGUMENTS (not
+        # baked constants): a parameter sweep (same geometry, new model
+        # curves) then reuses the compiled kernels AND the cached
+        # neighbour batches with zero recompiles — the whole point of
+        # the serving pattern
+        cpack = ()
+        if curve_meta is not None:
+            npdt = np.dtype(dt)
+            cpack = (curves, jnp.asarray(rscale.astype(npdt)),
+                     jnp.asarray(eps_edge.astype(npdt)))
+
+        def make_run(K):
+            def one_halo(cpack, hp, M_h, valid_h, inds, nn, gid, *o_h):
+                # inds: (K,) padded neighbour indices; nn true count;
+                # gid the halo's global catalog index (curve row)
                 p = coords_dev[inds]                    # (K, ndim)
                 dx = p - hp[None, :]
                 dx = jnp.where(dx > L / 2, dx - L, dx)  # min-image
                 dx = jnp.where(dx < -L / 2, dx + L, dx)
                 d = jnp.sqrt(jnp.sum(dx ** 2, axis=-1))
                 d_safe = jnp.where(d > 0, d, 1.0)
-                kw = {k: o for k, o in zip(keys, o_h)}
-                off = model.displacement(d, M_h, a, **kw)
+                if curve_meta is not None:
+                    from ..Profiles.BaryonCorrection import \
+                        BaryonificationClass as _BC
+                    ln_r0_, dlnr_ = curve_meta
+                    d_l = jnp.where(d > 0, d, 1e-30).astype(dt)
+                    off = _BC.curve_lookup(cpack[0][gid], ln_r0_, dlnr_,
+                                           d_l * cpack[1][gid])
+                    off = jnp.where(d.astype(dt) < cpack[2][gid],
+                                    off, 0.0)
+                else:
+                    kw = {k: o for k, o in zip(keys, o_h)}
+                    off = model.displacement(d, M_h, a, **kw)
                 off = jnp.reshape(off, d.shape).astype(dt)
                 off = jnp.where(jnp.isfinite(off), off, 0.0)
                 vec = off[:, None] * (dx / d_safe[:, None]).astype(dt)
@@ -150,13 +202,29 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                 inds = jnp.where(m, inds, n_part)       # dummy row
                 return inds, vec
 
-            def body(acc, batch):
-                hp_b, M_b, valid_b, inds_b, nn_b, *o_b = batch
-                inds, vec = jax.vmap(one_halo)(hp_b, M_b, valid_b, inds_b,
-                                               nn_b, *o_b)
-                return acc.at[inds.reshape(-1)].add(
-                    vec.reshape(-1, ndim)), None
-            return body
+            def body(cpack, acc, batch):
+                hp_b, M_b, valid_b, inds_b, nn_b, gid_b, *o_b = batch
+                inds, vec = jax.vmap(
+                    lambda *aa: one_halo(cpack, *aa))(
+                    hp_b, M_b, valid_b, inds_b, nn_b, gid_b, *o_b)
+                # FLAT accumulator (ndim*(n_part+1),): component c of
+                # particle i lives at [c*(n_part+1) + i]. TPU scatter of
+                # (n, ndim) rows is ~6x slower per row than 1-wide
+                # updates (measured, HealpixRunner phase A), so ndim
+                # 1-wide scatters beat one row scatter ~3.5x even at
+                # ndim times the update count (VERDICT r4 order #5).
+                flat = inds.reshape(-1)
+                idx = jnp.concatenate(
+                    [flat + c * (n_part + 1) for c in range(ndim)])
+                upd = jnp.concatenate(
+                    [vec[..., c].reshape(-1) for c in range(ndim)])
+                return acc.at[idx].add(upd), None
+
+            def scan_all(acc_in, batch, cpack):
+                acc_out, _ = jax.lax.scan(
+                    lambda acc, b: body(cpack, acc, b), acc_in, batch)
+                return acc_out
+            return scan_all
 
         # ---- neighbour lists + device batches: built once, cached -----
         # The padded neighbour lists are the dominant per-call cost at
@@ -236,6 +304,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                                           fill=np.int32(n_part))),
                          jnp.asarray(padb(counts[idx]
                                           .astype(np.int32))),
+                         jnp.asarray(padb(idx.astype(np.int32))),
                          ) + tuple(jnp.asarray(padb(e[idx]))
                                    for e in extras)
                 batches.append((K, nb, B, batch))
@@ -244,19 +313,22 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                 del self._compiled[k]     # bound device-memory growth
             self._compiled[bkey] = batches
 
-        acc = jnp.zeros((n_part + 1, ndim), dtype=dt)
+        acc = jnp.zeros((ndim * (n_part + 1),), dtype=dt)
         for K, nb, B, batch in batches:
-            body = make_step(K)
-            # the scan body bakes the model's table as jit constants:
-            # key on the model token so a swapped model recompiles
+            scan_all = make_run(K)
+            # the curve path takes the model's curves as ARGUMENTS (no
+            # recompile on a model swap: only the static curve grid is
+            # baked); the generic-displacement fallback bakes the
+            # model's table as closure constants, so it keys on the
+            # model identity token
+            mkey = (("curves", curve_meta, int(curves.shape[1]))
+                    if curve_meta is not None else ("model", model_tok))
             kkey = ("snapstep", K, nb, B, ndim, len(extras),
-                    self.mesh is None, model_tok)
+                    self.mesh is None, mkey)
             if kkey not in self._compiled:
                 if self.mesh is None:
-                    def run(acc_in, batch):
-                        acc_out, _ = jax.lax.scan(body, acc_in, batch)
-                        return acc_out
-                    self._compiled[kkey] = jax.jit(run, donate_argnums=0)
+                    self._compiled[kkey] = jax.jit(scan_all,
+                                                   donate_argnums=0)
                 else:
                     # shard the batch axis over the mesh's 'halos' axis;
                     # each device scatters into a full-size local partial
@@ -264,23 +336,25 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                     # analog, reference utils/Parallelize.py:297-320)
                     from jax.sharding import PartitionSpec as P
 
-                    def sharded(acc_in, batch):
+                    def sharded(acc_in, batch, cpack):
                         z = compat.pvary(
                             jnp.zeros_like(acc_in), ("halos",))
-                        z, _ = jax.lax.scan(body, z, batch)
+                        z = scan_all(z, batch, cpack)
                         return acc_in + jax.lax.psum(z, "halos")
 
                     self._compiled[kkey] = jax.jit(jax.shard_map(
                         sharded, mesh=self.mesh,
-                        in_specs=(P(), P("halos")), out_specs=P()),
+                        in_specs=(P(), P("halos"), P()), out_specs=P()),
                         donate_argnums=0)
-            acc = self._compiled[kkey](acc, batch)
+            acc = self._compiled[kkey](acc, batch, cpack)
 
-        tot_offsets = np.asarray(acc[:n_part], dtype=np.float64)
+        off_flat = np.asarray(acc, dtype=np.float64)
 
         new_cat = snap.cat.copy()
         for d_i, c in enumerate(hcols):
-            new_cat[c] = new_cat[c] + tot_offsets[:, d_i]
+            new_cat[c] = (new_cat[c]
+                          + off_flat[d_i * (n_part + 1):
+                                     d_i * (n_part + 1) + n_part])
             new_cat[c] = np.where(new_cat[c] > L, new_cat[c] - L, new_cat[c])
             new_cat[c] = np.where(new_cat[c] < 0, new_cat[c] + L, new_cat[c])
         return new_cat
