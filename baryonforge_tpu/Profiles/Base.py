@@ -37,6 +37,25 @@ hyper_params = ["mass_def", "c_M_relation", "use_fftlog_projection",
                 "padding_lo_proj", "padding_hi_proj", "n_per_decade_proj",
                 "r_min_int", "r_max_int", "r_steps", "xi_mm"]
 
+# per-parameter merge rules for combining two profiles' hyper params
+# (profile algebra), mirroring the reference's _fft_precision_logic
+# min/max/warn table (reference utils/misc.py:261-336): grid/integration
+# knobs take the SUPERSET of both operands' requirements; identity-like
+# knobs (mass_def, c_M_relation, xi_mm, ...) have no automatic rule —
+# operand A wins with a warning when they differ.
+_hyper_merge_logic = {
+    "padding_lo_proj": min,
+    "padding_hi_proj": max,
+    "n_per_decade_proj": max,
+    "r_min_int": min,
+    "r_max_int": max,
+    "r_steps": max,
+    "mass_def": None,
+    "c_M_relation": None,
+    "use_fftlog_projection": None,
+    "xi_mm": None,
+}
+
 _DEFAULT_FFT_PRECISION = dict(
     plaw_fourier=-2.0,
     padding_lo_fftlog=1e-2, padding_hi_fftlog=1e2,
@@ -326,12 +345,38 @@ class _CombinedProfile(Profile):
         self.model_param_names = sorted(names)
 
         hp = dict(base.hyper_params)
-        # merged hyper params: second operand wins only where first is None
+        # merged hyper params per the _hyper_merge_logic table: grid /
+        # integration knobs take the superset of both operands'
+        # requirements (the old "B wins only where A is None" silently
+        # kept A's r_steps-class knobs); identity-like knobs keep A
+        # with a warning when the operands disagree
         if isinstance(A, Profile) and isinstance(B, Profile):
             hpb = B.hyper_params
-            for k, v in hpb.items():
-                if hp.get(k) is None:
-                    hp[k] = v
+            for k, vb in hpb.items():
+                va = hp.get(k)
+                if va is None:
+                    hp[k] = vb
+                    continue
+                if vb is None:
+                    continue
+                rule = _hyper_merge_logic.get(k)
+                if rule is not None:
+                    try:
+                        hp[k] = rule(va, vb)
+                    except TypeError:     # non-comparable user objects
+                        pass
+                else:
+                    differ = va is not vb
+                    try:
+                        differ = differ and bool(va != vb)
+                    except Exception:     # array-valued / odd __eq__
+                        pass
+                    if differ:
+                        import warnings
+                        warnings.warn(
+                            f"hyper parameter {k} differs between "
+                            f"combined profiles ({va!r}, {vb!r}); using "
+                            "the first operand's value")
         mp = {}
         for x in (A, B):
             if isinstance(x, Profile):

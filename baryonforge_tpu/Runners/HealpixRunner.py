@@ -592,12 +592,14 @@ class DefaultRunner:
         kernel variants before the curves exist, and so a model swap
         reuses the compiled kernels (shapes are model-independent)."""
         from ..ops import tiles as _tiles
+        lookup = os.environ.get("BFG_TILE_LOOKUP", "auto")
         rkey = ("tilerun", tiling.nside, n_r, mode, log_curves, n_r2,
-                str(self.dtype), self.mesh is None)
+                str(self.dtype), self.mesh is None, lookup)
         if rkey not in self._compiled:
             self._compiled[rkey] = _tiles.make_tile_deposit(
                 tiling, n_r, mode=mode, dtype=self.dtype,
-                log_curves=log_curves, mesh=self.mesh, n_r2=n_r2)
+                log_curves=log_curves, mesh=self.mesh, n_r2=n_r2,
+                lookup=lookup)
         return self._compiled[rkey]
 
     def _get_flat_gather(self, tiling, ndim):
