@@ -31,12 +31,38 @@ f32 eps * tile_size / chord.
 """
 
 from functools import partial
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import compat
 from . import healpix as hpx
+
+
+def _sweep_unroll(nr):
+    """Unroll factor for the curve-center sweep loops.
+
+    Full unroll (the r4 default) multiplies the kernel's HLO by nr; on
+    the tunnelled remote compiler this cost minutes per kernel variant
+    and was the dominant term of the 555-945 s cold warmups (BENCH_r04).
+    Measured at NSIDE=1024 bench shapes (2026-08-19, fresh cache):
+    full = 291.9 s compile / 35.1 ms run; 8 = 10.4 s / 32.4 ms;
+    4 = 10.4 s / 33.1 ms; 1 = 18.8 s / 37.8 ms — partial unroll is
+    faster at 1/28th the compile cost (XLA still software-pipelines
+    the fmas within each unrolled group). BFG_SWEEP_UNROLL: integer,
+    or "full" (default 8).
+    """
+    v = os.environ.get("BFG_SWEEP_UNROLL", "8")
+    if v == "full":
+        return True
+    try:
+        n = int(v)
+    except ValueError:
+        return True
+    if n <= 1:
+        return 1
+    return min(n, nr)
 
 __all__ = ["SkyTiling", "bin_halos_to_tiles", "bucket_tiles",
            "refine_pairs"]
@@ -915,21 +941,24 @@ def make_tile_deposit(tiling, n_r, mode="displace", dtype=jnp.float32,
                         + jnp.clip(xx - cc, 0.0, 1.0)
                         * jax.lax.dynamic_slice_in_dim(d, cc, 1, axis=1),
                         jnp.broadcast_to(cv[:, 0:1], xx.shape),
-                        unroll=True)
+                        unroll=_sweep_unroll(nr))
                 if lookup == "hat":
                     # exact linear interp as a hat-basis contraction: the
                     # TPU has no per-lane gather, so
-                    # sum_c max(0, 1-|x-c|)*cv[:,c] IS the native lookup
-                    # unroll=True: the sweep is the kernel's hot loop
-                    # and the body is ~3 vector ops — unrolled, the
-                    # dynamic_slice starts become constants (static
-                    # slices) and XLA can software-pipeline the fmas
+                    # sum_c max(0, 1-|x-c|)*cv[:,c] IS the native lookup.
+                    # unroll: the sweep is the kernel's hot loop and the
+                    # body is ~3 vector ops — unrolled, the dynamic_slice
+                    # starts become constants and XLA software-pipelines
+                    # the fmas. BUT full unroll multiplies the HLO by nr
+                    # and each remote compile by minutes (the 555-945 s
+                    # cold warmups of r4); _sweep_unroll picks a partial
+                    # factor balancing issue rate vs compile time.
                     return jax.lax.fori_loop(
                         0, nr,
                         lambda cc, acc: acc + jnp.maximum(
                             0.0, 1.0 - jnp.abs(xx - cc))
                         * jax.lax.dynamic_slice_in_dim(cv, cc, 1, axis=1),
-                        jnp.zeros_like(xx), unroll=True)
+                        jnp.zeros_like(xx), unroll=_sweep_unroll(nr))
                 i = jnp.clip(xx.astype(jnp.int32), 0, nr - 2)
                 t = xx - i.astype(dtype)
                 v0 = jnp.take_along_axis(cv, i, axis=1)
@@ -1514,27 +1543,41 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
         phi0_t = phi0_r[M:M + RB]                        # f64
 
         out = jnp.zeros((RB, K), dtype=rdt)
+        if mesh is not None:
+            # loop carry mixes with tid-derived (device-varying) values
+            # under shard_map; mark it varying up front
+            out = compat.pvary(out, (mesh_axis,))
         vt = jnp.arange(K, dtype=jnp.int32).astype(rdt)
 
-        for du in range(-M, M + 1):
-            p0s = phi0_r[M + du:M + du + RB]
-            d_s = dphi_r[M + du:M + du + RB]
+        # (du, dv) stencil sweep as a partially-unrolled fori_loop: the
+        # fully unrolled Python double loop ((2M+1)*(2Wc+1) = 55 copies
+        # of the body) was a 200 s-class remote compile — same HLO-size
+        # pathology as the deposit kernel's full unroll (_sweep_unroll).
+        nDU, nDV = 2 * M + 1, 2 * Wc + 1
+
+        def sweep(it, acc):
+            du = it // nDV                       # 0..2M  (= M + du_rel)
+            dv = it - du * nDV                   # 0..2Wc (= Wc + dv_rel)
+            p0s = jax.lax.dynamic_slice_in_dim(phi0_r, du, RB)
+            d_s = jax.lax.dynamic_slice_in_dim(dphi_r, du, RB)
             r0 = ((p0s - phi0_t) / dphi_t).astype(rdt)   # (RB,)
             rat = (d_s / dphi_t).astype(rdt)             # (RB,)
-            for dv in range(-Wc, Wc + 1):
-                ts_ = theta_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
-                cs_ = c_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
-                vs_ = val_src[M + du:M + du + RB, Wc + dv:Wc + dv + K]
-                d = ts_ - th_t[:, None]
-                wth = jnp.where(
-                    d <= 0, jnp.maximum(0.0, 1.0 + d / dm[:, None]),
-                    jnp.maximum(0.0, 1.0 - d / dp[:, None]))
-                # source column in target units; |spacing| = 1 by
-                # construction, no 2pi wrap needed (slab coordinates are
-                # continuous across the ring seam)
-                x = r0[:, None] + cs_ * rat[:, None] - vt[None, :]
-                wph = jnp.maximum(0.0, 1.0 - jnp.abs(x))
-                out = out + wth * wph * vs_
+            ts_ = jax.lax.dynamic_slice(theta_src, (du, dv), (RB, K))
+            cs_ = jax.lax.dynamic_slice(c_src, (du, dv), (RB, K))
+            vs_ = jax.lax.dynamic_slice(val_src, (du, dv), (RB, K))
+            d = ts_ - th_t[:, None]
+            wth = jnp.where(
+                d <= 0, jnp.maximum(0.0, 1.0 + d / dm[:, None]),
+                jnp.maximum(0.0, 1.0 - d / dp[:, None]))
+            # source column in target units; |spacing| = 1 by
+            # construction, no 2pi wrap needed (slab coordinates are
+            # continuous across the ring seam)
+            x = r0[:, None] + cs_ * rat[:, None] - vt[None, :]
+            wph = jnp.maximum(0.0, 1.0 - jnp.abs(x))
+            return acc + wth * wph * vs_
+
+        out = jax.lax.fori_loop(0, nDU * nDV, sweep, out,
+                                unroll=_sweep_unroll(nDU * nDV))
         return out.reshape(P)
 
     def run_all(tid, po_t, orig_t, excl):
