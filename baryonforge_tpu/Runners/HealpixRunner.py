@@ -1827,31 +1827,43 @@ class PaintProfilesShell(DefaultRunner):
         npix = 12 * NSIDE * NSIDE
         pixarea = hpx.nside2pixarea(NSIDE)
 
-        hd = self._host_halo_data(cosmo)
         keys = self._model_p_keys()
-        cat = self.HaloLightConeCatalog.cat
-        extras = [np.asarray(cat[k], dtype=float) for k in keys]
-
         dt = self.dtype
         model = self.model
         if dt == jnp.float32 and hasattr(model, "with_dtype"):
             model = model.with_dtype(dt)
         include_pix = self.include_pixel_size
-
-        # fast path: per-halo profile curves (Tabulated / ParamTabulated —
-        # p_keys collapse into the curves, ops/interp.collapse_curves);
-        # the constant (z, M[, p...]) axes are interpolated once per halo
-        curve_meta = None
         clog = getattr(model, "curves_are_log", False)
-        if hasattr(model, "halo_curves"):
-            # curves stay on device: (n_halos, n_r) is 256 MB at 1e6
-            # halos in f32, and a host round trip over a tunnelled link
-            # costs minutes (see _halo_curve_arrays)
-            pkw = {k: e for k, e in zip(keys, extras)}
-            curves, ln_r0, dlnr = self._jit_halo_curves(
-                self.model, kind="projected")(hd["M"], hd["a"], pkw)
-            extras = extras + [curves]
-            curve_meta = (float(ln_r0), float(dlnr))
+
+        # hostprep + per-halo curves are (catalog, model)-content
+        # constants: cache them like BaryonifyShell._dispatch_process
+        # does. Recomputing per call cost ~2-3 s/call at 1e6 halos on a
+        # tunnelled link (M/a re-upload + R/D download + curve re-eval).
+        hkey = ("hostprep", self._cat_tok, self._model_tok)
+        if hkey in self._compiled:
+            hd, extras, curve_meta = self._compiled[hkey]
+        else:
+            hd = self._host_halo_data(cosmo)
+            cat = self.HaloLightConeCatalog.cat
+            extras = [np.asarray(cat[k], dtype=float) for k in keys]
+
+            # fast path: per-halo profile curves (Tabulated /
+            # ParamTabulated — p_keys collapse into the curves,
+            # ops/interp.collapse_curves); the constant (z, M[, p...])
+            # axes are interpolated once per halo
+            curve_meta = None
+            if hasattr(model, "halo_curves"):
+                # curves stay on device: (n_halos, n_r) is 256 MB at 1e6
+                # halos in f32, and a host round trip over a tunnelled
+                # link costs minutes (see _halo_curve_arrays)
+                pkw = {k: e for k, e in zip(keys, extras)}
+                curves, ln_r0, dlnr = self._jit_halo_curves(
+                    self.model, kind="projected")(hd["M"], hd["a"], pkw)
+                extras = extras + [curves]
+                curve_meta = (float(ln_r0), float(dlnr))
+            for k in [k for k in self._compiled if k[0] == "hostprep"]:
+                del self._compiled[k]
+            self._compiled[hkey] = (hd, extras, curve_meta)
 
         if self._tiles_available(curve_meta):
             return self._tiled_paint(hd, extras, curve_meta, NSIDE, npix,
@@ -1966,13 +1978,19 @@ class PaintProfilesShell(DefaultRunner):
                    .lower(sds((npix,), dt)).compile())
 
         # catalog-dependent prep (serial prefix)
+        hkey = ("hostprep", self._cat_tok, self._model_tok)
         hd = self._host_halo_data(cosmo)
         keys = self._model_p_keys()
         cat = self.HaloLightConeCatalog.cat
         pkw = {k: np.asarray(cat[k], dtype=float) for k in keys}
-        submit("halo_curves",
-               lambda: self._jit_halo_curves(model, kind="projected")(
-                   hd["M"], hd["a"], pkw))
+        curves_fut = None
+        if hkey not in self._compiled:
+            # NOTE: must call with self.model (not the with_dtype'd
+            # local) to share the jit cache key with _paint_device
+            curves_fut = pool.submit(
+                self._jit_halo_curves(self.model, kind="projected"),
+                hd["M"], hd["a"], pkw)
+            futs.append(("halo_curves", curves_fut))
         rr = np.asarray(getattr(model, "raw_input_r_range"))
         if dt == jnp.float32 and hasattr(model, "with_dtype"):
             rr = rr.astype(np.float32)       # match halo_curves exactly
@@ -2009,6 +2027,17 @@ class PaintProfilesShell(DefaultRunner):
                 import warnings
                 warnings.warn(f"warmup job {name} failed: {e!r}")
         pool.shutdown(wait=True)
+
+        # pre-fill the (catalog, model) hostprep cache the first
+        # process() reads (same pattern as BaryonifyShell.warmup)
+        if curves_fut is not None and not curves_fut.exception():
+            curves, ln_r0_a, dlnr_a = curves_fut.result()
+            extras = [pkw[k] for k in keys] + [curves]
+            for k in [k for k in self._compiled if k[0] == "hostprep"]:
+                del self._compiled[k]
+            self._compiled[hkey] = (hd, extras,
+                                    (float(ln_r0_a), float(dlnr_a)))
+
         report["warmup_s"] = round(time.time() - t0, 2)
         return report
 
@@ -2183,10 +2212,7 @@ class PaintProfilesAnisShell(DefaultRunner):
                           "density allows; check Mtot_model / cosmology")
         bg_weight = self.background_val * self.global_tracer_fraction
 
-        hd = self._host_halo_data(cosmo)
         keys = self._model_p_keys()
-        cat = self.HaloLightConeCatalog.cat
-        extras = [np.asarray(cat[k], dtype=float) for k in keys]
         dt = self.dtype
         model, tracer = self.model, self.Tracer_model
         include_pix = self.include_pixel_size
@@ -2195,23 +2221,40 @@ class PaintProfilesAnisShell(DefaultRunner):
         old_sum = orig_map.sum()
         orig_dev = self._device_map(orig_map, jnp.float64, old_sum)
 
-        # fast path: per-halo profile curves for BOTH model and tracer
-        # (Tabulated / ParamTabulated — p_keys collapse into the curves) —
-        # per-pixel work becomes two 1D lerps instead of two N-D table
-        # interpolations. The model's p_keys columns flow to both models,
-        # matching the reference (HealpixRunner.py:487-640 passes **o_j
-        # to Paint and Tracer alike).
-        curve_meta = None
+        # hostprep + per-halo curves are (catalog, models)-content
+        # constants — cached like the sibling runners (recomputing per
+        # call costs seconds of tunnel traffic at 1e6 halos)
         clog_p = getattr(model, "curves_are_log", False)
         clog_t = getattr(tracer, "curves_are_log", False)
-        if hasattr(model, "halo_curves") and hasattr(tracer, "halo_curves"):
-            pkw = {k: e for k, e in zip(keys, extras)}
-            pc, ln_r0_p, dlnr_p = self._jit_curves_raw(model)(
-                hd["M"], hd["a"], pkw)
-            tc, ln_r0_t, dlnr_t = self._jit_curves_raw(tracer)(
-                hd["M"], hd["a"], pkw)
-            curve_meta = (float(ln_r0_p), float(dlnr_p),
-                          float(ln_r0_t), float(dlnr_t))
+        hkey = ("hostprep", self._cat_tok, self._model_tok,
+                object_token(tracer))
+        if hkey in self._compiled:
+            hd, extras, pc, tc, curve_meta = self._compiled[hkey]
+        else:
+            hd = self._host_halo_data(cosmo)
+            cat = self.HaloLightConeCatalog.cat
+            extras = [np.asarray(cat[k], dtype=float) for k in keys]
+
+            # fast path: per-halo profile curves for BOTH model and
+            # tracer (Tabulated / ParamTabulated — p_keys collapse into
+            # the curves) — per-pixel work becomes two 1D lerps instead
+            # of two N-D table interpolations. The model's p_keys
+            # columns flow to both models, matching the reference
+            # (HealpixRunner.py:487-640 passes **o_j to Paint and
+            # Tracer alike).
+            curve_meta = pc = tc = None
+            if (hasattr(model, "halo_curves")
+                    and hasattr(tracer, "halo_curves")):
+                pkw = {k: e for k, e in zip(keys, extras)}
+                pc, ln_r0_p, dlnr_p = self._jit_curves_raw(model)(
+                    hd["M"], hd["a"], pkw)
+                tc, ln_r0_t, dlnr_t = self._jit_curves_raw(tracer)(
+                    hd["M"], hd["a"], pkw)
+                curve_meta = (float(ln_r0_p), float(dlnr_p),
+                              float(ln_r0_t), float(dlnr_t))
+            for k in [k for k in self._compiled if k[0] == "hostprep"]:
+                del self._compiled[k]
+            self._compiled[hkey] = (hd, extras, pc, tc, curve_meta)
 
         if curve_meta is not None and self._tiles_available(curve_meta):
             # tiled fast path: the halo sum
