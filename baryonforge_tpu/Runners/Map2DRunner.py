@@ -25,6 +25,8 @@ steep profile off-center (quantified in tests/test_grid_cutout_parity.py).
 """
 
 from functools import partial
+import hashlib
+import time
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,7 @@ import jax.numpy as jnp
 from ..cosmo import massdef as _massdef
 from ..ops import compat
 from ..ops.scatter import deposit_2d, deposit_3d
+from .HealpixRunner import DefaultRunner as _ShellRunner, object_token
 
 __all__ = ["DefaultRunnerGrid", "BaryonifyGrid", "PaintProfilesGrid",
            "PaintProfilesAnisGrid"]
@@ -61,9 +64,12 @@ class DefaultRunnerGrid:
                  use_ellipticity=False, mass_def=_massdef.MassDef200c,
                  include_pixel_size=True, verbose=True, halo_batch=256,
                  dtype=jnp.float32, mesh=None, n_size_buckets=4,
-                 pixel_budget=8_000_000, regrid_dtype=jnp.float64):
+                 pixel_budget=8_000_000, regrid_dtype=jnp.float64,
+                 transfer="auto"):
         self.HaloNDCatalog = HaloNDCatalog
         self.GriddedMap = GriddedMap
+        self.transfer = transfer
+        self.timings = {}
         self.cosmo = HaloNDCatalog.cosmology
         self.model = model
         self.epsilon_max = epsilon_max
@@ -91,6 +97,63 @@ class DefaultRunnerGrid:
             if not GriddedMap.is2D:
                 raise NotImplementedError(
                     "ellipticity is 2D-only (as in the reference)")
+
+    # ------------------------------------------------------------------
+    # Fleet transfer standard (same machinery as the shell runners):
+    # a dispatch thread makes process_async() return immediately, the
+    # result downloads sparsely (diff blocks only) on a fetch thread so
+    # repeated calls pipeline, and every call records a
+    # compute/transfer timings split. The methods are shared with
+    # DefaultRunner (HealpixRunner.py) — they depend only on
+    # self._compiled / self.transfer / self.timings.
+    _fetch_executor = _ShellRunner._fetch_executor
+    _dispatch_executor = _ShellRunner._dispatch_executor
+    _async_via_dispatch = _ShellRunner._async_via_dispatch
+    _submit_fetch = _ShellRunner._submit_fetch
+    _finish_map = _ShellRunner._finish_map
+    _fetch_map = _ShellRunner._fetch_map
+    _done_future = staticmethod(_ShellRunner._done_future)
+
+    @staticmethod
+    def _reshape_future(fut, shape):
+        """Chain a reshape onto a fetch future (grid maps are 2D/3D;
+        the transfer machinery works on flat arrays)."""
+        from concurrent.futures import Future
+        out = Future()
+        out.timings = fut.timings
+
+        def _done(f):
+            e = f.exception()
+            if e is not None:
+                out.set_exception(e)
+            else:
+                out.set_result(np.asarray(f.result()).reshape(shape))
+
+        fut.add_done_callback(_done)
+        return out
+
+    def _device_grid_map(self, orig_map, rdt):
+        """Upload the grid once per (content, dtype) and keep a bitwise
+        matching host cast for the sparse diff download (same pattern
+        as DefaultRunner._device_map). Returns
+        (device flat, host flat, content token)."""
+        m = np.asarray(orig_map)
+        dg = hashlib.blake2b(digest_size=16)
+        dg.update(np.ascontiguousarray(m.reshape(-1)[::16]).tobytes())
+        dg.update(repr((m.shape, str(m.dtype),
+                        float(m.sum(dtype=np.float64)))).encode())
+        tok = dg.hexdigest()
+        key = ("origmap", tok, str(rdt))
+        if key not in self._compiled:
+            for k in [k for k in self._compiled
+                      if k[0] in ("origmap", "orighost")]:
+                del self._compiled[k]
+            host = m.reshape(-1).astype(
+                np.float64 if rdt == jnp.float64 else np.float32)
+            self._compiled[("orighost",) + key[1:]] = host
+            self._compiled[key] = jnp.asarray(host)
+        return (self._compiled[key],
+                self._compiled[("orighost",) + key[1:]], tok)
 
     # ------------------------------------------------------------------
     def build_Rmat(self, A, q):
@@ -135,9 +198,16 @@ class DefaultRunnerGrid:
     def _model_p_keys(self):
         return list(vars(self.model).get("p_keys", []))
 
-    def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype):
+    def _scan_accumulate(self, scan_fn, batches, acc_shape, acc_dtype,
+                         extra_key=None):
+        # the scan body's closure bakes the model's table (and, for the
+        # Anis runner, the Mtot/orig device maps) as jit CONSTANTS: the
+        # compile key must include their identities or a same-shape call
+        # with a swapped model / mutated map would silently reuse stale
+        # constants (extra_key carries the map-content tokens)
         key = (tuple((tuple(b.shape), str(b.dtype)) for b in batches),
-               tuple(acc_shape), str(acc_dtype), self.mesh is None)
+               tuple(acc_shape), str(acc_dtype), self.mesh is None,
+               object_token(self.model), extra_key)
         if key not in self._compiled:
             def local(batches_local, varying=False):
                 acc = jnp.zeros(acc_shape, dtype=acc_dtype)
@@ -178,7 +248,7 @@ class DefaultRunnerGrid:
         return out, valid.reshape(nb, batch)
 
     def _bucketed_accumulate(self, make_body, Nsize, per_halo_arrays,
-                             acc_shape, acc_dtype):
+                             acc_shape, acc_dtype, extra_key=None):
         """Bucket halos by cutout size; each bucket gets a static cutout."""
         n = Nsize.shape[0]
         nbuck = max(1, min(self.n_size_buckets, n))
@@ -198,7 +268,8 @@ class DefaultRunnerGrid:
             batched, valid = self._padded_batches(sub, batch)
             batches = tuple(jnp.asarray(b) for b in batched) \
                 + (jnp.asarray(valid),)
-            acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype)
+            acc = self._scan_accumulate(body, batches, acc_shape, acc_dtype,
+                                        extra_key=extra_key)
             acc_total = acc if acc_total is None else acc_total + acc
         return acc_total
 
@@ -222,6 +293,18 @@ class BaryonifyGrid(DefaultRunnerGrid):
     """Baryonify a 2D/3D mass grid (reference Map2DRunner.py:376-621)."""
 
     def process(self):
+        return self.process_async().result()
+
+    def process_async(self):
+        """Dispatch the grid baryonification and return a Future
+        resolving to the host map (fleet transfer standard: dispatch
+        thread + sparse pipelined download + timings split, same as the
+        shell runners)."""
+        t_start = time.time()
+        return self._async_via_dispatch(
+            lambda: self._dispatch_process(t_start))
+
+    def _dispatch_process(self, t_start):
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
         gm = self.GriddedMap
@@ -379,19 +462,22 @@ class BaryonifyGrid(DefaultRunnerGrid):
                 base = jnp.stack([bx, by, bz], axis=1)
                 new = deposit_3d(jnp.zeros((Npix,) * 3, dtype=rdt),
                                  base + po, orig_flat)
-            return new
+            # flat: the transfer machinery diffs/downloads 1D maps
+            return new.reshape(-1)
 
         rkey = ("regrid", Npix, is2D, str(rdt))
         if rkey not in self._compiled:
             self._compiled[rkey] = jax.jit(regrid)
-        new_map = np.asarray(
-            self._compiled[rkey](pix_offsets,
-                                 jnp.asarray(orig_map.reshape(-1))))
-        new_sum, old_sum = new_map.sum(), orig_map.sum()
-        assert np.isclose(new_sum, old_sum), (
-            "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
-            "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
-        return new_map
+        # cached upload + bitwise host cast: unchanged blocks never
+        # cross the link on the sparse result download
+        orig_dev, orig_host, _ = self._device_grid_map(orig_map, rdt)
+        new_dev = self._compiled[rkey](pix_offsets, orig_dev)
+        # conservation asserted against the f64 host sum inside the
+        # fetch thread (same tripwire as the reference's
+        # Map2DRunner.py:616-619 and the shell runners)
+        fut = self._submit_fetch(new_dev, t_start, orig_dev, orig_host,
+                                 conserve_sum=orig_map.sum())
+        return self._reshape_future(fut, orig_map.shape)
 
 
 class PaintProfilesGrid(DefaultRunnerGrid):
@@ -400,6 +486,22 @@ class PaintProfilesGrid(DefaultRunnerGrid):
     area/volume when ``include_pixel_size`` (default True here)."""
 
     def process(self):
+        return self.process_async().result()
+
+    def process_async(self):
+        """Dispatch the paint and return a Future resolving to the host
+        map (diff-vs-zero sparse download; painted grids are zero
+        outside halo cutouts)."""
+        t_start = time.time()
+        return self._async_via_dispatch(
+            lambda: self._reshape_future(
+                self._submit_fetch(self._paint_device(), t_start),
+                self.GriddedMap.map.shape))
+
+    def _paint_device(self):
+        """Run the paint and return the DEVICE flat map (pixel-size
+        scaling included). PaintProfilesAnisGrid consumes its Mtot
+        canvas this way — no host round trip."""
         from ..cosmo.core import cosmology_from_dict
         cosmo = cosmology_from_dict(self.cosmo)
         gm = self.GriddedMap
@@ -525,12 +627,18 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         per_halo = [M, R_com, cen.astype(float), d_off] + extras
         if use_ell:
             per_halo += [q_ell, A_ell]
-        new_map = np.asarray(self._bucketed_accumulate(
-            make_body, Nsize, per_halo, (nflat,), jnp.float64))
+        new_dev = self._bucketed_accumulate(
+            make_body, Nsize, per_halo, (nflat,), jnp.float64)
 
         if self.include_pixel_size:
-            new_map = new_map * res ** (2 if is2D else 3)
-        return new_map.reshape(gm.map.shape)
+            skey = ("pixscale", nflat)
+            if skey not in self._compiled:
+                # jitted: an eager scale is a separate remote
+                # compile + RPC per shape on the axon backend
+                self._compiled[skey] = jax.jit(lambda m, s: m * s)
+            new_dev = self._compiled[skey](
+                new_dev, res ** (2 if is2D else 3))
+        return new_dev
 
 
 class PaintProfilesAnisGrid(PaintProfilesGrid):
@@ -553,6 +661,36 @@ class PaintProfilesAnisGrid(PaintProfilesGrid):
                          verbose, **kw)
 
     def process(self):
+        return self.process_async().result()
+
+    def process_async(self):
+        """Dispatch the anisotropic paint and return a Future resolving
+        to the host map (fleet transfer standard; the Mtot canvas stays
+        on device — the old path downloaded and re-uploaded it)."""
+        t_start = time.time()
+        return self._async_via_dispatch(
+            lambda: self._dispatch_process(t_start))
+
+    def _mtot_runner(self):
+        """(cached) nested total-mass paint runner — kept alive so its
+        compiled kernels and device caches persist across calls."""
+        mkey = ("anis_mtot_runner", object_token(self.Mtot_model))
+        if mkey not in self._compiled:
+            for k in [k for k in self._compiled
+                      if k[0] == "anis_mtot_runner"]:
+                del self._compiled[k]
+            self._compiled[mkey] = PaintProfilesGrid(
+                self.HaloNDCatalog, self.GriddedMap, self.epsilon_max,
+                self.Mtot_model, use_ellipticity=self.use_ellipticity,
+                mass_def=self.mass_def, include_pixel_size=True,
+                verbose=self.verbose, halo_batch=self.halo_batch,
+                dtype=self.dtype, mesh=self.mesh,
+                n_size_buckets=self.n_size_buckets,
+                pixel_budget=self.pixel_budget,
+                regrid_dtype=self.regrid_dtype, transfer=self.transfer)
+        return self._compiled[mkey]
+
+    def _dispatch_process(self, t_start):
         import warnings
         from ..cosmo.core import cosmology_from_dict
         from ..cosmo import core as _core
@@ -562,25 +700,32 @@ class PaintProfilesAnisGrid(PaintProfilesGrid):
         Npix, res = gm.Npix, gm.res
         orig_map = np.asarray(gm.map, dtype=np.float64)
 
-        Mtot_map = PaintProfilesGrid(
-            self.HaloNDCatalog, gm, self.epsilon_max, self.Mtot_model,
-            use_ellipticity=self.use_ellipticity, mass_def=self.mass_def,
-            include_pixel_size=True, verbose=self.verbose,
-            halo_batch=self.halo_batch, dtype=self.dtype).process()
+        mt_runner = self._mtot_runner()
+        mt_runner.HaloNDCatalog = self.HaloNDCatalog
+        mt_runner.GriddedMap = self.GriddedMap
+        Mtot_dev0 = mt_runner._paint_device()       # flat, on device
 
         a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
         dL = 2 * _get_parameter(self.Mtot_model, "proj_cutoff")
         dV = res ** 2 * dL
-        rho_halos = Mtot_map.sum() / (dV * Mtot_map.size)
+        nflat = orig_map.size
+        skey = ("mapsum", nflat)
+        if skey not in self._compiled:
+            self._compiled[skey] = jax.jit(
+                lambda m: jnp.sum(m.astype(jnp.float64)))
+        rho_halos = float(self._compiled[skey](Mtot_dev0)) / (dV * nflat)
         rho_m = float(_core.rho_x(cosmo, a, "matter", is_comoving=False))
-        drho_m = np.clip(rho_m - rho_halos, 0, None)
-        Mtot_map = Mtot_map + dV * drho_m
+        drho_m = float(np.clip(rho_m - rho_halos, 0, None))
+        akey = ("mtot_add", nflat)
+        if akey not in self._compiled:
+            self._compiled[akey] = jax.jit(lambda m, add: m + add)
+        Mtot_dev = self._compiled[akey](Mtot_dev0, dV * drho_m)
         if rho_halos > rho_m:
             warnings.warn("halos contribute more mass than the mean "
                           "matter density allows")
 
-        Mtot_dev = jnp.asarray(Mtot_map.reshape(-1))
-        orig_dev = jnp.asarray(orig_map.reshape(-1))
+        orig_dev, _, map_tok = self._device_grid_map(orig_map,
+                                                     jnp.float64)
         base_model = self.model
         tracer = self.Tracer_model
 
@@ -632,14 +777,27 @@ class PaintProfilesAnisGrid(PaintProfilesGrid):
             return body
 
         per_halo = [M, R_com, cen.astype(float), d_off] + extras
-        new_map = np.asarray(self._bucketed_accumulate(
-            make_body, Nsize, per_halo, (orig_map.size,), jnp.float64))
-        if include_pix:
-            new_map = new_map * res ** 2
+        # the body bakes Mtot_dev/orig_dev as jit constants: their
+        # content tokens join the compile key (see _scan_accumulate)
+        acc = self._bucketed_accumulate(
+            make_body, Nsize, per_halo, (nflat,), jnp.float64,
+            extra_key=(map_tok, object_token(self.Mtot_model),
+                       round(dV * drho_m, 12)))
 
-        mfrac_bg = np.where(Mtot_map > 0,
-                            dV * drho_m / Mtot_map, 0.0).reshape(-1)
-        mfrac_bg *= orig_map.reshape(-1)
-        new_map = new_map + (self.background_val
-                             * self.global_tracer_fraction * mfrac_bg)
-        return new_map.reshape(orig_map.shape)
+        # pixel-size scaling + uniform-background tracer term fused in
+        # one device pass (the old path computed mfrac_bg host-side at
+        # npix scale and downloaded the dense canvas)
+        fkey = ("anis_bg", nflat, bool(include_pix))
+        if fkey not in self._compiled:
+            def fin(acc_map, mt, og, add, bgw, scale):
+                if include_pix:
+                    acc_map = acc_map * scale
+                bg = jnp.where(mt > 0, add / mt, 0.0) * og
+                return acc_map + bgw * bg
+            self._compiled[fkey] = jax.jit(fin)
+        new_dev = self._compiled[fkey](
+            acc, Mtot_dev, orig_dev, dV * drho_m,
+            self.background_val * self.global_tracer_fraction,
+            res ** 2)
+        fut = self._submit_fetch(new_dev, t_start)
+        return self._reshape_future(fut, orig_map.shape)

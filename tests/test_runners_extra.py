@@ -259,3 +259,66 @@ def test_paint_anis_tiled_matches_scatter():
         deposit="scatter", **kw).process()
     np.testing.assert_allclose(tiled, scatter, rtol=2e-2,
                                atol=2e-5 * np.abs(scatter).max())
+
+
+def test_anis_grid_repeat_calls_track_map_mutation():
+    """Repeated process() with an in-place map mutation must NOT reuse
+    the previous call's baked-in Mtot/orig device constants (the grid
+    _scan_accumulate keys on content tokens via extra_key; regression
+    for the stale-closure aliasing the shell runners fixed in r4)."""
+    N, L = 32, 128.0
+    n = 12
+    rng = np.random.default_rng(11)
+    bins = (np.arange(N) + 0.5) * (L / N)
+    cat = utils.HaloNDCatalog(x=rng.uniform(0, L, n),
+                              y=rng.uniform(0, L, n),
+                              M=10 ** rng.uniform(13.5, 14.5, n),
+                              redshift=0.2, cosmo=COSMO_DICT)
+    map1 = rng.exponential(1.0, (N, N))
+    gm = utils.GriddedMap(map=map1.copy(), bins=bins,
+                          cosmo=COSMO_DICT, redshift=0.2)
+    tab = _tab()
+    runner = PaintProfilesAnisGrid(
+        cat, gm, epsilon_max=5, model=tab, Tracer_model=tab,
+        Mtot_model=tab, background_val=1.0, global_tracer_fraction=0.1,
+        halo_batch=4)
+    out1 = runner.process()
+    # mutate the map in place; a second call must see the new content
+    gm.map[:] = 3.0 * map1
+    out2 = runner.process()
+    # the orig map enters linearly through the mfrac weighting
+    np.testing.assert_allclose(out2, 3.0 * out1, rtol=1e-10)
+    # timings split recorded (fleet transfer standard)
+    assert {"compute_s", "transfer_s"} <= set(runner.timings)
+
+
+def test_baryonify_grid_async_pipeline_and_conservation():
+    """process_async() futures resolve to the same map as process()
+    and repeated calls keep mass conservation."""
+    N, L = 32, 128.0
+    n = 8
+    rng = np.random.default_rng(12)
+    bins = (np.arange(N) + 0.5) * (L / N)
+    cat = utils.HaloNDCatalog(x=rng.uniform(0, L, n),
+                              y=rng.uniform(0, L, n),
+                              M=10 ** rng.uniform(14.0, 14.5, n),
+                              redshift=0.2, cosmo=COSMO_DICT)
+    gm = utils.GriddedMap(map=rng.exponential(1.0, (N, N)), bins=bins,
+                          cosmo=COSMO_DICT, redshift=0.2)
+    DMO = Profiles.DarkMatter(**bpar_S19)
+    DMB = Profiles.DarkMatter(**{**bpar_S19, "epsilon": 2.0})
+    from baryonforge_tpu.Profiles.BaryonCorrection import Baryonification3D
+    model = Baryonification3D(DMO, DMB, COSMO, epsilon_max=20)
+    model.setup_interpolator(z_min=0.1, z_max=0.3, N_samples_z=2,
+                             M_min=1e13, M_max=1e15, N_samples_Mass=4,
+                             R_min=1e-3, R_max=50, N_samples_R=32,
+                             verbose=False)
+    runner = BaryonifyGrid(cat, gm, epsilon_max=20, model=model,
+                           halo_batch=4)
+    sync = runner.process()
+    futs = [runner.process_async() for _ in range(2)]
+    outs = [f.result() for f in futs]
+    for out in outs:
+        assert out.shape == (N, N)
+        np.testing.assert_allclose(out, sync, rtol=1e-12)
+        np.testing.assert_allclose(out.sum(), gm.map.sum(), rtol=1e-10)
