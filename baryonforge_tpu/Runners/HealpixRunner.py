@@ -1102,49 +1102,29 @@ class BaryonifyShell(DefaultRunner):
             self._compiled[gkey] = jax.jit(build)(jnp.asarray(g_tids))
         return self._compiled[gkey]
 
-    def _stencil_complement(self, NSIDE, npix, rdt, acc, out_tiled,
-                            orig_tiled, excl):
-        """Scatter complement of the stencil: geometric tiles via a
-        COMPACT static source list (the padded whole-tile form scattered
-        27M slots for ~4M real pixels — 87% padding — and was 4.5 s of
-        the NSIDE=4096 phase B), hot tiles (rare; measured 0% even at
-        1e6-halo density) via the chunked whole-tile path. Fused with
-        the tile->ring flat view into one dispatch; mesh mode shards the
-        source axis and psums."""
-        info = self._compiled[("stencilinfo", NSIDE)]
-        Dg_np = np.asarray(info["D_geom"])
-        ndev = 1 if self.mesh is None else self.mesh.devices.size
-        sf_c = self._get_stencil_geo(NSIDE)
-
-        hot_ids = np.where(np.asarray(excl) & ~Dg_np)[0].astype(np.int32)
-        Tc = 512
-        nch = ndev
-        while nch * Tc < hot_ids.size:
-            nch *= 2
-        has_hot = hot_ids.size > 0
-        tids = np.full(nch * Tc, -1, dtype=np.int32)
-        tids[:hot_ids.size] = hot_ids
-        finish = self._get_stencil_finish(NSIDE, npix, rdt, has_hot, nch)
-        return finish(acc, out_tiled, orig_tiled, sf_c,
-                      jnp.asarray(tids.reshape(nch, Tc)))
-
-    def _get_stencil_finish(self, NSIDE, npix, rdt, has_hot, nch):
-        """(cached) the fused complement-scatter + flat-view jit."""
+    def _get_stencil_geo_ang(self, NSIDE, rdt):
+        """(cached) static per-source (pix, theta, phi) for the compact
+        geometric-tile list: pure functions of the tiling, computed ONCE
+        on device. The f64 ring math (ring_info/ring_theta + divides)
+        is EMULATED on TPU and was the bulk of the per-call complement
+        cost (finish_s 2.9 s of phase B's 4.3 s at NSIDE=4096,
+        tools/stencil_bench.py) when recomputed inside every call."""
+        from ..ops import tiles as _tiles
         tiling = self._get_tiling(NSIDE)
         P = tiling.RB * tiling.K
-        ckey = ("stencil_compl", NSIDE, str(rdt), has_hot,
-                nch if has_hot else 0)
-        if ckey not in self._compiled:
-            RB, K = tiling.RB, tiling.K
-            N_ = tiling.nside
+        K = tiling.K
+        N_ = tiling.nside
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        akey = ("stencil_geo_ang", NSIDE, str(rdt), ndev)
+        if akey not in self._compiled:
+            sf = self._get_stencil_geo(NSIDE)
             ti0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
             tss = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
             tSS = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
 
-            def geo_pairs(acc, orig_tiled, sf):
-                """Weights for compact sources; the per-element ring math
-                is bit-identical to SkyTiling.slot_pixels."""
-                ok = sf >= 0
+            def build(sf):
+                # per-element ring math bit-identical to
+                # SkyTiling.slot_pixels (see geo_pairs history)
                 sfc = jnp.maximum(sf, 0)
                 t = sfc // P
                 rem = sfc - t * P
@@ -1162,11 +1142,64 @@ class BaryonifyShell(DefaultRunner):
                 theta = hpx.ring_theta(N_, i_c, jnp.float64)
                 phi = ((jw.astype(jnp.float64) + 0.5 * sh)
                        * (2.0 * jnp.pi / nr))
+                return (pix.astype(jnp.int32), theta.astype(rdt),
+                        phi.astype(rdt))
+
+            self._compiled[akey] = jax.jit(build)(sf)
+        return self._compiled[akey]
+
+    def _stencil_complement(self, NSIDE, npix, rdt, acc, out_tiled,
+                            orig_tiled, excl):
+        """Scatter complement of the stencil: geometric tiles via a
+        COMPACT static source list (the padded whole-tile form scattered
+        27M slots for ~4M real pixels — 87% padding — and was 4.5 s of
+        the NSIDE=4096 phase B), hot tiles (rare; measured 0% even at
+        1e6-halo density) via the chunked whole-tile path. Fused with
+        the tile->ring flat view into one dispatch; mesh mode shards the
+        source axis and psums."""
+        info = self._compiled[("stencilinfo", NSIDE)]
+        Dg_np = np.asarray(info["D_geom"])
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        sf_c = self._get_stencil_geo(NSIDE)
+        gpix, gth, gph = self._get_stencil_geo_ang(NSIDE, rdt)
+
+        hot_ids = np.where(np.asarray(excl) & ~Dg_np)[0].astype(np.int32)
+        Tc = 512
+        nch = ndev
+        while nch * Tc < hot_ids.size:
+            nch *= 2
+        has_hot = hot_ids.size > 0
+        tids = np.full(nch * Tc, -1, dtype=np.int32)
+        tids[:hot_ids.size] = hot_ids
+        finish = self._get_stencil_finish(NSIDE, npix, rdt, has_hot, nch)
+        return finish(acc, out_tiled, orig_tiled, sf_c, gpix, gth, gph,
+                      jnp.asarray(tids.reshape(nch, Tc)))
+
+    def _get_stencil_finish(self, NSIDE, npix, rdt, has_hot, nch):
+        """(cached) the fused complement-scatter + flat-view jit."""
+        tiling = self._get_tiling(NSIDE)
+        P = tiling.RB * tiling.K
+        ckey = ("stencil_compl", NSIDE, str(rdt), has_hot,
+                nch if has_hot else 0)
+        if ckey not in self._compiled:
+            RB, K = tiling.RB, tiling.K
+            N_ = tiling.nside
+            ti0 = jnp.asarray(tiling.tile_i0, dtype=jnp.int32)
+            tss = jnp.asarray(tiling.tile_s, dtype=jnp.int32)
+            tSS = jnp.asarray(tiling.tile_S, dtype=jnp.int32)
+
+            def geo_pairs(acc, orig_tiled, sf, gpix, gth, gph):
+                """Weights for compact sources. The static per-source
+                ring geometry (pix, theta, phi) arrives precomputed
+                (_get_stencil_geo_ang) — recomputing the f64 ring math
+                per call was the bulk of the complement cost (f64 is
+                emulated on TPU)."""
+                ok = sf >= 0
+                sfc = jnp.maximum(sf, 0)
                 po = acc.reshape(-1, 2)[sfc]
                 og = orig_tiled.reshape(-1)[sfc]
                 cpix, cw = BaryonifyShell._weights_for(
-                    NSIDE, rdt, pix, po, theta.astype(rdt),
-                    phi.astype(rdt))
+                    NSIDE, rdt, gpix, po, gth, gph)
                 val = jnp.where(ok, og, 0.0)
                 cpix = jnp.where(ok[..., None], cpix, npix)
                 return (cpix.reshape(-1),
@@ -1193,8 +1226,10 @@ class BaryonifyShell(DefaultRunner):
                 cpix, vals = jax.vmap(one)(tid_chunk)
                 return cpix.reshape(-1), vals.reshape(-1)
 
-            def scatter_all(out, acc, orig_tiled, sf, tids):
-                cpix, vals = geo_pairs(acc, orig_tiled, sf)
+            def scatter_all(out, acc, orig_tiled, sf, gpix, gth, gph,
+                            tids):
+                cpix, vals = geo_pairs(acc, orig_tiled, sf, gpix, gth,
+                                       gph)
                 out = out.at[cpix].add(vals)
                 if has_hot:
                     def body(o, tid_chunk):
@@ -1205,29 +1240,34 @@ class BaryonifyShell(DefaultRunner):
                 return out
 
             if self.mesh is None:
-                def finish(acc, out_tiled, orig_tiled, sf, tids):
+                def finish(acc, out_tiled, orig_tiled, sf, gpix, gth,
+                           gph, tids):
                     out = jnp.concatenate(
                         [tiling.flat_view(out_tiled),
                          jnp.zeros(1, dtype=rdt)])
-                    return scatter_all(out, acc, orig_tiled, sf,
-                                       tids)[:npix]
+                    return scatter_all(out, acc, orig_tiled, sf, gpix,
+                                       gth, gph, tids)[:npix]
 
                 self._compiled[ckey] = jax.jit(finish)
             else:
-                # mesh: shard the compact-source axis and the hot-chunk
-                # axis; psum partial maps (acc/orig/out_tiled replicate)
+                # mesh: shard the compact-source axis (incl. its static
+                # geometry) and the hot-chunk axis; psum partial maps
+                # (acc/orig/out_tiled replicate)
                 from jax.sharding import PartitionSpec as _PS
 
-                def local(acc, out_tiled, orig_tiled, sf_l, tids_l):
+                def local(acc, out_tiled, orig_tiled, sf_l, gpix_l,
+                          gth_l, gph_l, tids_l):
                     z = compat.pvary(jnp.zeros(npix + 1, dtype=rdt),
                                      ("halos",))
-                    z = scatter_all(z, acc, orig_tiled, sf_l, tids_l)
+                    z = scatter_all(z, acc, orig_tiled, sf_l, gpix_l,
+                                    gth_l, gph_l, tids_l)
                     return (jax.lax.psum(z[:npix], "halos")
                             + tiling.flat_view(out_tiled))
 
                 self._compiled[ckey] = jax.jit(jax.shard_map(
                     local, mesh=self.mesh,
                     in_specs=(_PS(), _PS(), _PS(), _PS("halos"),
+                              _PS("halos"), _PS("halos"), _PS("halos"),
                               _PS("halos")),
                     out_specs=_PS()))
         return self._compiled[ckey]
@@ -1625,14 +1665,20 @@ class BaryonifyShell(DefaultRunner):
             combo = self._get_stencil_combo(NSIDE, rdt)
             submit("stencil_combo",
                    lambda: combo.lower(acc_s, og_s).compile())
-            submit("stencil_geo", lambda: self._get_stencil_geo(NSIDE))
+            # geo list + its static angles build sequentially in one job
+            # (geo_ang depends on geo; a separate job would race it)
+            submit("stencil_geo",
+                   lambda: self._get_stencil_geo_ang(NSIDE, rdt))
             fin = self._get_stencil_finish(NSIDE, npix, rdt,
                                            has_hot=False, nch=1)
-            sf_s = sds((self._stencil_geo_size(NSIDE),), jnp.int32)
+            ng = self._stencil_geo_size(NSIDE)
+            sf_s = sds((ng,), jnp.int32)
+            gpix_s = sds((ng,), jnp.int32)
+            gang_s = sds((ng,), rdt)
             tids_s = sds((1, 512), jnp.int32)
             submit("stencil_finish",
-                   lambda: fin.lower(acc_s, og_s, og_s, sf_s,
-                                     tids_s).compile())
+                   lambda: fin.lower(acc_s, og_s, og_s, sf_s, gpix_s,
+                                     gang_s, gang_s, tids_s).compile())
             ot = self._get_origtiled_jit(NSIDE, rdt)
             submit("origtiled",
                    lambda: ot.lower(sds((npix,), rdt)).compile())

@@ -40,7 +40,7 @@ from . import compat
 from . import healpix as hpx
 
 
-def _sweep_unroll(nr):
+def _sweep_unroll(nr, env="BFG_SWEEP_UNROLL", default="8"):
     """Unroll factor for the curve-center sweep loops.
 
     Full unroll (the r4 default) multiplies the kernel's HLO by nr; on
@@ -50,10 +50,15 @@ def _sweep_unroll(nr):
     full = 291.9 s compile / 35.1 ms run; 8 = 10.4 s / 32.4 ms;
     4 = 10.4 s / 33.1 ms; 1 = 18.8 s / 37.8 ms — partial unroll is
     faster at 1/28th the compile cost (XLA still software-pipelines
-    the fmas within each unrolled group). BFG_SWEEP_UNROLL: integer,
-    or "full" (default 8).
+    the fmas within each unrolled group). The deposit kernels default
+    to 8: MANY variants compile (bucket shapes x window classes), so
+    compile time multiplies. The stencil regrid keeps full unroll
+    (``BFG_STENCIL_UNROLL``): it is ONE kernel per (NSIDE, dtype) and
+    the rolled form measured 6.8 s vs 4.3 s full at NSIDE=4096
+    (dynamic-slice starts defeat XLA's fusion of the 55-tap sweep).
+    Env overrides: integer, or "full".
     """
-    v = os.environ.get("BFG_SWEEP_UNROLL", "8")
+    v = os.environ.get(env, default)
     if v == "full":
         return True
     try:
@@ -1577,7 +1582,9 @@ def make_stencil_regrid(tiling, rdt=jnp.float64, W=2, Wc=5, t_chunk=64,
             return acc + wth * wph * vs_
 
         out = jax.lax.fori_loop(0, nDU * nDV, sweep, out,
-                                unroll=_sweep_unroll(nDU * nDV))
+                                unroll=_sweep_unroll(
+                                    nDU * nDV, env="BFG_STENCIL_UNROLL",
+                                    default="full"))
         return out.reshape(P)
 
     def run_all(tid, po_t, orig_t, excl):

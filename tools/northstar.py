@@ -172,9 +172,10 @@ def main():
                                     verbose=False, n_size_buckets=8,
                                     regrid_dtype=jnp.float32)
     t0 = time.time()
+    wrep = runner.warmup()      # concurrent AOT of all kernels
     out = runner.process()
     print(f"# baryonify warmup (incl. compile + host prep): "
-          f"{time.time()-t0:.1f} s", file=sys.stderr)
+          f"{time.time()-t0:.1f} s ({wrep})", file=sys.stderr)
     bary = []
     for _ in range(args.repeats):
         t0 = time.time()
@@ -231,8 +232,10 @@ def main():
         cat, shell, epsilon_max=5, model=tab, halo_batch=8192,
         verbose=False, n_size_buckets=8, regrid_dtype=jnp.float32)
     t0 = time.time()
+    prep = paint_runner.warmup()    # concurrent AOT of all kernels
     pout = paint_runner.process()
-    print(f"# paint warmup: {time.time()-t0:.1f} s", file=sys.stderr)
+    print(f"# paint warmup: {time.time()-t0:.1f} s ({prep})",
+          file=sys.stderr)
     checkpoint()
     paint = []
     for _ in range(args.repeats):
