@@ -578,12 +578,41 @@ class DefaultRunner:
             return False
         return curve_meta is not None
 
-    def _get_tiling(self, NSIDE):
+    def _get_tiling(self, NSIDE, shape=None):
+        """(cached) the SkyTiling; ``shape=(ring_block, seg_slots)``
+        overrides the default 16x32 tile. The baryonify phases share ONE
+        tiling (the stencil phase B consumes phase A's tile-major
+        accumulator), but paint has no stencil coupling and may pick a
+        finer tile when its discs are small (_paint_tiling)."""
         from ..ops import tiles as _tiles
-        tkey = ("tiling", NSIDE)
+        tkey = ("tiling", NSIDE, shape)
         if tkey not in self._compiled:
-            self._compiled[tkey] = _tiles.SkyTiling(NSIDE)
+            kw = ({} if shape is None
+                  else dict(ring_block=shape[0], seg_slots=shape[1]))
+            self._compiled[tkey] = _tiles.SkyTiling(NSIDE, **kw)
         return self._compiled[tkey]
+
+    def _paint_tiling(self, NSIDE, hd):
+        """Tiling for the PAINT kernels. The tile kernel's work term is
+        (padded (tile, halo) pairs) x (P pixels per tile): paint discs
+        (eps_max ~ 5) are small against the default 16x32 tile
+        (0.18 x 0.7 deg at NSIDE=4096), so most of each tile's P=512
+        pixels are masked waste. A finer tile trades more (tile, halo)
+        pairs for far fewer wasted pixel evals; measured at the
+        north-star population (tools/tiling_scan.py) the 8x16 tile cuts
+        the pixel-eval work ~3x for eps_max=5 discs. P=128 still fills
+        one (8, 128) vreg. ``BFG_PAINT_TILING``: "RBxK" forces a shape,
+        "default" keeps the stencil tiling."""
+        env = os.environ.get("BFG_PAINT_TILING", "auto")
+        if env not in ("auto", "default", ""):
+            rb, k = (int(x) for x in env.lower().split("x"))
+            return self._get_tiling(NSIDE, (rb, k))
+        if env == "auto":
+            # median disc diameter under ~1.5 tile heights -> fine tile
+            tile_th = 16.0 * np.pi / (4.0 * NSIDE)
+            if float(np.median(hd["radius"])) * 2.0 < 1.5 * tile_th:
+                return self._get_tiling(NSIDE, (8, 16))
+        return self._get_tiling(NSIDE)
 
     def _get_tile_run(self, tiling, n_r, mode, log_curves=False,
                       n_r2=None):
@@ -593,8 +622,9 @@ class DefaultRunner:
         reuses the compiled kernels (shapes are model-independent)."""
         from ..ops import tiles as _tiles
         lookup = os.environ.get("BFG_TILE_LOOKUP", "auto")
-        rkey = ("tilerun", tiling.nside, n_r, mode, log_curves, n_r2,
-                str(self.dtype), self.mesh is None, lookup)
+        rkey = ("tilerun", tiling.nside, tiling.RB, tiling.K, n_r, mode,
+                log_curves, n_r2, str(self.dtype), self.mesh is None,
+                lookup)
         if rkey not in self._compiled:
             self._compiled[rkey] = _tiles.make_tile_deposit(
                 tiling, n_r, mode=mode, dtype=self.dtype,
@@ -604,7 +634,7 @@ class DefaultRunner:
 
     def _get_flat_gather(self, tiling, ndim):
         """(cached jit) tile-major accumulator -> flat RING order."""
-        gkey = ("slotgather", tiling.nside, ndim)
+        gkey = ("slotgather", tiling.nside, tiling.RB, tiling.K, ndim)
         if gkey not in self._compiled:
             self._compiled[gkey] = jax.jit(tiling.flat_view)
         return self._compiled[gkey]
@@ -669,9 +699,9 @@ class DefaultRunner:
         lnDa_key = None if lnDa is None else hashlib.blake2b(
             np.ascontiguousarray(np.asarray(lnDa, np.float64)).tobytes(),
             digest_size=8).hexdigest()
-        bkey = ("tilebin", self._cat_tok, tiling.nside,
-                radius.shape[0], float(radius.sum()), inv_key, lnDa_key,
-                n_c, grids_key)
+        bkey = ("tilebin", self._cat_tok, tiling.nside, tiling.RB,
+                tiling.K, radius.shape[0], float(radius.sum()), inv_key,
+                lnDa_key, n_c, grids_key)
         if bkey in self._compiled:
             return self._compiled[bkey]
 
@@ -681,7 +711,7 @@ class DefaultRunner:
         if cache_dir:
             dg = hashlib.blake2b(digest_size=16)
             dg.update(np.int64(tiling.nside).tobytes())
-            dg.update(repr((inv_key, lnDa_key, n_c,
+            dg.update(repr((tiling.RB, tiling.K, inv_key, lnDa_key, n_c,
                             grids_key)).encode())
             for arr in (hd["theta"][idx_big], hd["phi"][idx_big],
                         radius[idx_big]):
@@ -1990,7 +2020,11 @@ class PaintProfilesShell(DefaultRunner):
         dt = self.dtype
         sds = jax.ShapeDtypeStruct
         log_curves = getattr(model, "curves_are_log", False)
-        tiling = self._get_tiling(NSIDE)
+        # tiling choice depends on the disc radii (hd): compute the host
+        # halo data first so warmup compiles the SAME kernels process()
+        # will dispatch
+        hd = self._host_halo_data(cosmo)
+        tiling = self._paint_tiling(NSIDE, hd)
         P = tiling.RB * tiling.K
 
         pool = ThreadPoolExecutor(max_workers=max_workers,
@@ -2023,9 +2057,8 @@ class PaintProfilesShell(DefaultRunner):
                    lambda: _split_fn(npix, np.dtype(dt), ns)
                    .lower(sds((npix,), dt)).compile())
 
-        # catalog-dependent prep (serial prefix)
+        # catalog-dependent prep (serial prefix; hd computed above)
         hkey = ("hostprep", self._cat_tok, self._model_tok)
-        hd = self._host_halo_data(cosmo)
         keys = self._model_p_keys()
         cat = self.HaloLightConeCatalog.cat
         pkw = {k: np.asarray(cat[k], dtype=float) for k in keys}
@@ -2099,7 +2132,7 @@ class PaintProfilesShell(DefaultRunner):
         """
         from ..ops import tiles as _tiles
 
-        tiling = self._get_tiling(NSIDE)
+        tiling = self._paint_tiling(NSIDE, hd)
         curves = extras[-1]
         ln_r0, dlnr = curve_meta
         small = np.zeros(hd["radius"].shape[0], dtype=bool)
@@ -2423,7 +2456,7 @@ class PaintProfilesAnisShell(DefaultRunner):
         from ..ops import tiles as _tiles
 
         ln_r0_p, dlnr_p, ln_r0_t, dlnr_t = curve_meta
-        tiling = self._get_tiling(NSIDE)
+        tiling = self._paint_tiling(NSIDE, hd)
         dt = self.dtype
         small = np.zeros(hd["radius"].shape[0], dtype=bool)
         buckets = self._get_tile_buckets(

@@ -107,8 +107,10 @@ def test_flat_view_matches_slot_index(nside, rb, k):
 
 
 def test_hat_lookup_matches_gather():
-    """The TPU hat-basis contraction and the gather lerp are the same
-    interpolation; validate on the kernel surface (CPU runs both)."""
+    """Every TPU-native lookup form (hat contraction, first-difference
+    clamp expansion, one-hot MXU) and the gather lerp are the same
+    piecewise-linear interpolation; validate on the kernel surface
+    (CPU runs all of them)."""
     import jax.numpy as jnp
     from baryonforge_tpu.ops.tiles import make_tile_deposit
 
@@ -133,12 +135,13 @@ def test_hat_lookup_matches_gather():
                            dtype=jnp.float32),
     )
     outs = {}
-    for lk in ("hat", "gather"):
+    for lk in ("hat", "dclamp", "mxu", "gather"):
         run = make_tile_deposit(t, n_r, mode="displace", lookup=lk)
         outs[lk] = [np.asarray(run(b, pack, 0.0, 4.0)[1]) for b in buckets]
-    for a, b in zip(outs["hat"], outs["gather"]):
-        np.testing.assert_allclose(a, b, atol=1e-6 * max(
-            1e-30, np.abs(b).max()))
+    for lk in ("hat", "dclamp", "mxu"):
+        for a, b in zip(outs[lk], outs["gather"]):
+            np.testing.assert_allclose(a, b, atol=1e-5 * max(
+                1e-30, np.abs(b).max()), err_msg=f"lookup={lk}")
 
 
 def test_bucket_tiles_roundtrip():

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--lookup", default="auto")
     ap.add_argument("--modes", default="displace,paint")
     ap.add_argument("--paths", default="full,windowed")
+    ap.add_argument("--shape", default=None,
+                    help="tiling as RBxK (default SkyTiling default)")
+    ap.add_argument("--rad", default="0.2,2.0",
+                    help="disc radius range in degrees (log-uniform)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--check", action="store_true",
                     help="compare windowed against full result")
@@ -49,7 +53,11 @@ def main():
     import jax.numpy as jnp
     from baryonforge_tpu.ops import tiles as T
 
-    tiling = T.SkyTiling(args.nside)
+    if args.shape:
+        rb, kk = (int(x) for x in args.shape.lower().split("x"))
+        tiling = T.SkyTiling(args.nside, ring_block=rb, seg_slots=kk)
+    else:
+        tiling = T.SkyTiling(args.nside)
     P = tiling.RB * tiling.K
     n, n_r = args.halos, args.nr
     rng = np.random.default_rng(0)
@@ -59,8 +67,9 @@ def main():
     th = np.arccos(u)
     vh = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
                    np.cos(th)], axis=1)
-    # north-star-like disc radii: 0.2-2 deg
-    radius = np.deg2rad(10 ** rng.uniform(np.log10(0.2), np.log10(2.0),
+    # north-star-like disc radii (paint eps_max=5 is ~4x smaller: --rad)
+    r_lo, r_hi = (float(x) for x in args.rad.split(","))
+    radius = np.deg2rad(10 ** rng.uniform(np.log10(r_lo), np.log10(r_hi),
                                           n))
     chord_rad = 2 * np.sin(radius / 2)
     ln_r0 = float(np.log(1e-3))
