@@ -150,7 +150,7 @@ def main():
 
     results = {"nside": nside, "n_halos": n_halos,
                "date": time.strftime("%Y-%m-%d"),
-               "note": ("phase_a_s/phase_b_stencil_s/paint_compute_s are "
+               "note": ("phase_a_s/phase_b_stencil_s/paint_device_s are "
                         "warm, blocked device times; e2e compute/transfer "
                         "fields include dev-tunnel RPC congestion (~ms "
                         "transfers on attached hardware). "
@@ -250,12 +250,26 @@ def main():
     results["paint_compute_s"] = round(paint[i][1], 2)
     results["paint_transfer_s"] = round(paint[i][2], 2)
     print(f"# paint: {paint}", file=sys.stderr)
+    checkpoint()
+
+    # warm, fully-blocked DEVICE paint — same protocol as phase A/B.
+    # The e2e timings["compute_s"] span covers dispatch→ready and is
+    # inflated by per-bucket dispatch RPCs queueing on the tunnelled
+    # link (observed 48 s "compute" vs ~5 s blocked device truth);
+    # `_paint_device()` returns the device map with no download.
+    for rep in range(2):
+        t0 = time.time()
+        dm = paint_runner._paint_device()
+        dm.block_until_ready()
+        results["paint_device_s"] = round(time.time() - t0, 2)
+        del dm
+    checkpoint()
 
     # single-chip device total from the WARM per-phase numbers (the e2e
     # compute_s fields above are inflated by RPC/link congestion on the
     # tunnelled backend — phases are measured blocked and warm)
     total_compute = (results["phase_a_s"] + results["phase_b_stencil_s"]
-                     + results["paint_compute_s"])
+                     + results["paint_device_s"])
     results["total_compute_s_1chip"] = round(total_compute, 2)
     # v5e-8 extrapolation: every phase shards — phase A and paint over
     # the tile/halo axes (tested shard_map + psum paths,
